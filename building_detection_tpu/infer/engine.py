@@ -1,0 +1,151 @@
+"""Tiled scene inference: batched, jitted, resident in HBM.
+
+Replaces the reference hot loop (`/root/reference/predict.py:90-116`) which
+calls ``model.predict`` once per tile per model (batch size 1, host round trip
+per tile).  Here one jitted program per (canvas shape, tile count) takes the
+whole scene through: normalize -> gather tiles -> chunked batched forward ->
+argmax -> scatter-OR canvas.  The host sees exactly two transfers per scene
+per model: image up, mask down.
+
+The per-model binary mask it returns is bit-compatible with the reference's
+``np.where(pred_result >= 1, 255, 0)`` (`predict.py:114`): overlapping tile
+votes are OR-ed.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from building_detection_tpu.core import module as M
+from building_detection_tpu.core.config import TilerConfig
+from building_detection_tpu.ops import tiling as T
+
+Array = jax.Array
+
+
+class TiledPredictor:
+    """Runs one model over arbitrarily large scenes via sliding-window tiles.
+
+    Args:
+      model_fn: a zoo model ``fn(scope, x) -> softmax probs``.
+      params / state: the model's variables.
+      cfg: tiler geometry (defaults = reference constants).
+      batch_tiles: tiles per forward chunk (static; trades HBM for MXU
+        utilisation).
+      compute_dtype: activation dtype; ``bfloat16`` for speed,
+        ``float32`` for bit-parity runs.
+    """
+
+    def __init__(
+        self,
+        model_fn: Callable,
+        params,
+        state,
+        cfg: TilerConfig = TilerConfig(),
+        batch_tiles: int = 8,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.model_fn = model_fn
+        self.params = params
+        self.state = state
+        self.cfg = cfg
+        self.batch_tiles = batch_tiles
+        self.compute_dtype = compute_dtype
+
+    @functools.lru_cache(maxsize=32)
+    def _compiled(self, h: int, w: int, canvas_h: int, canvas_w: int, num_tiles: int):
+        cfg = self.cfg
+        tile = cfg.tile
+        batch = min(self.batch_tiles, max(num_tiles, 1))
+        num_chunks = -(-num_tiles // batch)
+        padded = num_chunks * batch
+
+        def run(params, state, img_u8: Array, origins: Array) -> Array:
+            # Normalize THEN zero-pad: the reference writes the normalized
+            # image into a zero canvas (`predict.py:102-104`), so the pad
+            # region is 0.0 in normalized space (mid-gray), not -1.
+            img = T.normalize(img_u8, cfg, dtype=self.compute_dtype)
+            canvas = jnp.pad(img, ((0, canvas_h - h), (0, canvas_w - w), (0, 0)))
+            # pad origins by repeating the last tile (OR is idempotent)
+            if padded != num_tiles:
+                reps = jnp.broadcast_to(origins[-1:], (padded - num_tiles, 2))
+                origins_p = jnp.concatenate([origins, reps], axis=0)
+            else:
+                origins_p = origins
+            chunks = origins_p.reshape(num_chunks, batch, 2)
+            mask_canvas = jnp.zeros((canvas_h, canvas_w), jnp.uint8)
+
+            def body(carry, chunk_origins):
+                tiles = T.extract_tiles(canvas, chunk_origins, tile)
+                probs, _ = M.apply(
+                    self.model_fn,
+                    params,
+                    state,
+                    tiles,
+                    compute_dtype=self.compute_dtype,
+                )
+                masks = (jnp.argmax(probs, axis=-1) == 1).astype(jnp.uint8)
+
+                def put(c, i):
+                    o = chunk_origins[i]
+                    cur = lax.dynamic_slice(c, (o[0], o[1]), (tile, tile))
+                    return (
+                        lax.dynamic_update_slice(
+                            c, jnp.maximum(cur, masks[i]), (o[0], o[1])
+                        ),
+                        None,
+                    )
+
+                carry, _ = lax.scan(
+                    lambda c, i: put(c, i), carry, jnp.arange(batch)
+                )
+                return carry, None
+
+            mask_canvas, _ = lax.scan(body, mask_canvas, chunks)
+            return mask_canvas * jnp.uint8(255)
+
+        return jax.jit(run)
+
+    def predict_mask(self, image_rgb: np.ndarray) -> np.ndarray:
+        """(H, W, 3) uint8 RGB -> (H, W) uint8 {0, 255} building mask."""
+        h, w = image_rgb.shape[:2]
+        plan = T.plan_tiles(h, w, self.cfg)
+        if plan.num_tiles == 0:
+            # Degenerate scenes (dim <= overlap) produce a blank mask in the
+            # reference (`predict.py:105-106` loops never run).
+            return np.zeros((h, w), np.uint8)
+        fn = self._compiled(h, w, plan.canvas_h, plan.canvas_w, plan.num_tiles)
+        mask = fn(
+            self.params, self.state, jnp.asarray(image_rgb), T.origins_array(plan)
+        )
+        return np.asarray(mask)[:h, :w]
+
+
+class EnsemblePredictor:
+    """The 5-model ensemble of the reference (`/root/reference/predict.py:75-87`).
+
+    Keeps all five models resident on device; returns the per-model masks in
+    the reference's execution order.
+    """
+
+    def __init__(
+        self,
+        members: Dict[str, Tuple[Callable, dict, dict]],
+        cfg: TilerConfig = TilerConfig(),
+        batch_tiles: int = 8,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.predictors = {
+            name: TiledPredictor(fn, params, state, cfg, batch_tiles, compute_dtype)
+            for name, (fn, params, state) in members.items()
+        }
+
+    def predict_masks(self, image_rgb: np.ndarray) -> Dict[str, np.ndarray]:
+        return {
+            name: p.predict_mask(image_rgb) for name, p in self.predictors.items()
+        }

@@ -1,0 +1,291 @@
+"""Functional NN layers with TF/Keras-parity semantics, NHWC, TPU-first.
+
+Every layer here is a pure function of a :class:`~building_detection_tpu.core.
+module.Scope`.  Semantics deliberately match the Keras layers used by the
+reference models (`/root/reference/predict_model/*.py`):
+
+* ``SAME`` padding on strided and dilated convolutions follows TF's
+  asymmetric convention (extra padding on bottom/right);
+* :func:`conv2d_transpose` reproduces ``keras.layers.Conv2DTranspose`` with
+  ``padding='same'`` (output = input * stride), implemented as the gradient
+  of a forward convolution via ``lax.conv_transpose(transpose_kernel=True)``;
+* :func:`batch_norm` uses Keras defaults (momentum 0.99, epsilon 1e-3) and
+  moving statistics at inference;
+* pooling / nearest upsampling match ``MaxPooling2D`` / ``AveragePooling2D``
+  / ``UpSampling2D`` defaults.
+
+Convolutions use ``preferred_element_type=float32`` so bf16 activations still
+accumulate in f32 on the MXU.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from building_detection_tpu.core.module import Scope
+
+Array = jax.Array
+
+he_normal = jax.nn.initializers.he_normal()
+glorot_uniform = jax.nn.initializers.glorot_uniform()
+zeros_init = jax.nn.initializers.zeros
+ones_init = jax.nn.initializers.ones
+
+_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return (int(v[0]), int(v[1]))
+    return (int(v), int(v))
+
+
+def _activate(x: Array, activation: Optional[str]) -> Array:
+    if activation is None:
+        return x
+    if activation == "relu":
+        return jax.nn.relu(x)
+    if activation == "sigmoid":
+        return jax.nn.sigmoid(x)
+    if activation == "softmax":
+        return jax.nn.softmax(x, axis=-1)
+    raise ValueError(f"unknown activation {activation!r}")
+
+
+def conv2d(
+    s: Scope,
+    x: Array,
+    features: int,
+    kernel_size: Union[int, Tuple[int, int]],
+    strides: Union[int, Tuple[int, int]] = 1,
+    padding: str = "SAME",
+    dilation: Union[int, Tuple[int, int]] = 1,
+    use_bias: bool = True,
+    activation: Optional[str] = None,
+    kernel_init=glorot_uniform,
+    name: Optional[str] = None,
+) -> Array:
+    """``keras.layers.Conv2D`` equivalent (NHWC, HWIO kernel)."""
+    name = s.auto_name("conv2d", name)
+    kh, kw = _pair(kernel_size)
+    in_ch = x.shape[-1]
+    w = s.param(f"{name}/kernel", (kh, kw, in_ch, features), kernel_init)
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=_pair(strides),
+        padding=padding,
+        rhs_dilation=_pair(dilation),
+        dimension_numbers=_DIMS,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if use_bias:
+        b = s.param(f"{name}/bias", (features,), zeros_init)
+        y = y + b
+    return _activate(y, activation)
+
+
+def separable_conv2d(
+    s: Scope,
+    x: Array,
+    features: int,
+    kernel_size: Union[int, Tuple[int, int]],
+    strides: Union[int, Tuple[int, int]] = 1,
+    padding: str = "SAME",
+    dilation: Union[int, Tuple[int, int]] = 1,
+    use_bias: bool = True,
+    activation: Optional[str] = None,
+    name: Optional[str] = None,
+) -> Array:
+    """``keras.layers.SeparableConv2D``: depthwise (multiplier 1) + pointwise.
+
+    Used heavily by the Xception backbones
+    (`/root/reference/predict_model/v3plus.py:185-280`).
+    """
+    name = s.auto_name("separable_conv2d", name)
+    kh, kw = _pair(kernel_size)
+    in_ch = x.shape[-1]
+    dw = s.param(f"{name}/depthwise_kernel", (kh, kw, 1, in_ch), glorot_uniform)
+    pw = s.param(f"{name}/pointwise_kernel", (1, 1, in_ch, features), glorot_uniform)
+    y = lax.conv_general_dilated(
+        x,
+        dw,
+        window_strides=_pair(strides),
+        padding=padding,
+        rhs_dilation=_pair(dilation),
+        dimension_numbers=_DIMS,
+        feature_group_count=in_ch,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    y = lax.conv_general_dilated(
+        y,
+        pw,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=_DIMS,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if use_bias:
+        b = s.param(f"{name}/bias", (features,), zeros_init)
+        y = y + b
+    return _activate(y, activation)
+
+
+def conv2d_transpose(
+    s: Scope,
+    x: Array,
+    features: int,
+    kernel_size: Union[int, Tuple[int, int]],
+    strides: Union[int, Tuple[int, int]] = 2,
+    use_bias: bool = True,
+    activation: Optional[str] = None,
+    kernel_init=glorot_uniform,
+    name: Optional[str] = None,
+) -> Array:
+    """``keras.layers.Conv2DTranspose(padding='same')``: output = input*stride.
+
+    The kernel is stored TF-style as ``(kh, kw, out_ch, in_ch)`` and applied
+    as the gradient of the corresponding forward convolution, which is exactly
+    what TF computes (`/root/reference/predict_model/scse.py:71` etc.).
+    """
+    name = s.auto_name("conv2d_transpose", name)
+    kh, kw = _pair(kernel_size)
+    in_ch = x.shape[-1]
+    w = s.param(f"{name}/kernel", (kh, kw, features, in_ch), kernel_init)
+    y = lax.conv_transpose(
+        x,
+        w,
+        strides=_pair(strides),
+        padding="SAME",
+        dimension_numbers=_DIMS,
+        transpose_kernel=True,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if use_bias:
+        b = s.param(f"{name}/bias", (features,), zeros_init)
+        y = y + b
+    return _activate(y, activation)
+
+
+def dense(
+    s: Scope,
+    x: Array,
+    features: int,
+    use_bias: bool = True,
+    activation: Optional[str] = None,
+    kernel_init=glorot_uniform,
+    name: Optional[str] = None,
+) -> Array:
+    name = s.auto_name("dense", name)
+    w = s.param(f"{name}/kernel", (x.shape[-1], features), kernel_init)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    if use_bias:
+        b = s.param(f"{name}/bias", (features,), zeros_init)
+        y = y + b
+    return _activate(y, activation)
+
+
+def batch_norm(
+    s: Scope,
+    x: Array,
+    momentum: float = 0.99,
+    epsilon: float = 1e-3,
+    name: Optional[str] = None,
+) -> Array:
+    """``keras.layers.BatchNormalization`` over the channel axis.
+
+    Inference uses moving statistics; training uses batch statistics and
+    updates the moving averages with Keras' convention
+    ``moving = moving * momentum + batch * (1 - momentum)``.
+    """
+    name = s.auto_name("batch_normalization", name)
+    ch = x.shape[-1]
+    gamma = s.param(f"{name}/gamma", (ch,), ones_init)
+    beta = s.param(f"{name}/beta", (ch,), zeros_init)
+    moving_mean = s.get_state(f"{name}/moving_mean", (ch,), lambda r, sh, d: jnp.zeros(sh, d))
+    moving_var = s.get_state(f"{name}/moving_variance", (ch,), lambda r, sh, d: jnp.ones(sh, d))
+
+    if s.train:
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x.astype(jnp.float32), axis=axes)
+        var = jnp.var(x.astype(jnp.float32), axis=axes)
+        s.put_state(
+            f"{name}/moving_mean", moving_mean * momentum + mean * (1.0 - momentum)
+        )
+        s.put_state(
+            f"{name}/moving_variance", moving_var * momentum + var * (1.0 - momentum)
+        )
+    else:
+        mean = moving_mean.astype(jnp.float32)
+        var = moving_var.astype(jnp.float32)
+
+    mean = mean.astype(x.dtype)
+    inv = (lax.rsqrt(var + epsilon)).astype(x.dtype) * gamma
+    return (x - mean) * inv + beta
+
+
+def max_pool(
+    x: Array,
+    pool_size: Union[int, Tuple[int, int]] = 2,
+    strides: Optional[Union[int, Tuple[int, int]]] = None,
+    padding: str = "VALID",
+) -> Array:
+    """``keras.layers.MaxPooling2D`` (default pool 2, stride=pool, valid)."""
+    ph, pw = _pair(pool_size)
+    sh, sw = _pair(strides) if strides is not None else (ph, pw)
+    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x,
+        jnp.asarray(neg_inf, x.dtype),
+        lax.max,
+        window_dimensions=(1, ph, pw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=padding,
+    )
+
+
+def avg_pool(
+    x: Array,
+    pool_size: Union[int, Tuple[int, int]],
+    strides: Optional[Union[int, Tuple[int, int]]] = None,
+    padding: str = "VALID",
+) -> Array:
+    ph, pw = _pair(pool_size)
+    sh, sw = _pair(strides) if strides is not None else (ph, pw)
+    summed = lax.reduce_window(
+        x.astype(jnp.float32),
+        jnp.float32(0),
+        lax.add,
+        window_dimensions=(1, ph, pw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=padding,
+    )
+    return (summed / float(ph * pw)).astype(x.dtype)
+
+
+def global_avg_pool(x: Array, keepdims: bool = False) -> Array:
+    """``GlobalAveragePooling2D``: (B,H,W,C) -> (B,C) (or (B,1,1,C))."""
+    return jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=keepdims).astype(x.dtype)
+
+
+def upsample2d(x: Array, size: Union[int, Tuple[int, int]] = 2) -> Array:
+    """``UpSampling2D`` with nearest-neighbour interpolation (Keras default)."""
+    sh, sw = _pair(size)
+    x = jnp.repeat(x, sh, axis=1)
+    x = jnp.repeat(x, sw, axis=2)
+    return x
+
+
+def relu(x: Array) -> Array:
+    return jax.nn.relu(x)
+
+
+def sigmoid(x: Array) -> Array:
+    return jax.nn.sigmoid(x)
+
+
+def softmax(x: Array, axis: int = -1) -> Array:
+    return jax.nn.softmax(x, axis=axis)

@@ -1,0 +1,20 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Tests always run on CPU (the real chip is reserved for benches), with an
+8-device virtual host platform so mesh/sharding tests exercise real
+collectives without hardware, per SURVEY.md section 4.
+
+Note: this environment registers a TPU ('axon') backend in sitecustomize for
+every Python process, so JAX_PLATFORMS in the environment is not enough — we
+must also update jax.config before any backend is touched.
+"""
+import os
+
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=8 " + os.environ.get("XLA_FLAGS", "")
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
