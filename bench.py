@@ -1,0 +1,127 @@
+"""Benchmark: 512x512 tiles/sec/chip for the 5-model ensemble forward path.
+
+Run on the real TPU chip (the default backend in this image).  Prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+``vs_baseline`` is the speedup over the reference-style CPU ensemble: the
+same five architectures driven one tile per predict call in float32 on the
+host CPU (the reference's execution model, `/root/reference/predict.py:105-113`
+— it publishes no numbers of its own, so the baseline is measured,
+BASELINE.md).  Re-measure with ``BDT_BENCH_CPU_BASELINE=measure``; otherwise
+the constant below (measured on this host, see BASELINE.md) is used.
+
+Env knobs: BDT_BENCH_BATCH (default 8), BDT_BENCH_ITERS (default 10),
+BDT_BENCH_MODELS (default all five).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Reference-style CPU ensemble throughput measured on this host (tiles/sec,
+# single 512x512 tile through all five models, f32, batch 1): see BASELINE.md.
+CPU_BASELINE_TILES_PER_SEC = float(
+    os.environ.get("BDT_CPU_BASELINE_TPS", "0.0149")
+)
+
+
+def _build(names, batch, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from building_detection_tpu.core import module as M
+    from building_detection_tpu.models.registry import MODEL_REGISTRY, init_model
+
+    members = []
+    for i, name in enumerate(names):
+        fn = MODEL_REGISTRY[name]
+        params, state = init_model(name, jax.random.key(i), (1, 512, 512, 3))
+
+        def fwd(params, state, x, fn=fn):
+            probs, _ = M.apply(fn, params, state, x, compute_dtype=dtype)
+            return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+
+        members.append((name, jax.jit(fwd), params, state))
+    return members
+
+
+def measure_ensemble(names, batch, iters, dtype) -> float:
+    """Ensemble tiles/sec: each tile goes through all five models."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    members = _build(names, batch, dtype)
+    x = jax.random.uniform(
+        jax.random.key(42), (batch, 512, 512, 3), jnp.float32, -1, 1
+    )
+    # warmup (compile); NOTE: on the tunneled axon backend block_until_ready
+    # does not await execution — a host fetch is the only real sync, so all
+    # timing here flushes via np.asarray.
+    for _, fwd, params, state in members:
+        np.asarray(fwd(params, state, x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        for _, fwd, params, state in members:
+            out = fwd(params, state, x)
+    np.asarray(out)  # device executes FIFO: fetching the last result flushes all
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def measure_cpu_baseline(names) -> float:
+    """Reference execution model: one tile per call, f32, CPU."""
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    import jax.numpy as jnp
+
+    import numpy as np
+
+    with jax.default_device(cpu):
+        members = _build(names, 1, jnp.float32)
+        x = jax.random.uniform(jax.random.key(7), (1, 512, 512, 3), jnp.float32, -1, 1)
+        for _, fwd, params, state in members:
+            np.asarray(fwd(params, state, x))
+        t0 = time.perf_counter()
+        for _, fwd, params, state in members:
+            out = fwd(params, state, x)
+        np.asarray(out)
+        return 1.0 / (time.perf_counter() - t0)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    names = os.environ.get(
+        "BDT_BENCH_MODELS", "res34,hrnet,v3plus,scse,bam"
+    ).split(",")
+    batch = int(os.environ.get("BDT_BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BDT_BENCH_ITERS", "10"))
+
+    baseline = CPU_BASELINE_TILES_PER_SEC
+    if os.environ.get("BDT_BENCH_CPU_BASELINE") == "measure":
+        baseline = measure_cpu_baseline(names)
+        print(f"# measured CPU baseline: {baseline:.4f} tiles/s", file=sys.stderr)
+
+    tps = measure_ensemble(names, batch, iters, jnp.bfloat16)
+    print(
+        json.dumps(
+            {
+                "metric": "ensemble_512_tiles_per_sec_per_chip",
+                "value": round(tps, 3),
+                "unit": "tiles/s",
+                "vs_baseline": round(tps / baseline, 2) if baseline else None,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,99 @@
+"""Batch prediction CLI — the `predict.py` entry point, with flags instead of
+hard-coded Windows paths (`/root/reference/predict.py:135-181`).
+
+Mode '1' (single image) == `--image`; mode '2' (directory) == `--image-dir`.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bdt-predict",
+        description="5-model ensemble building detection over GeoTIFF/PNG scenes.",
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--image", help="single image to predict (reference mode '1')")
+    src.add_argument(
+        "--image-dir", help="directory of images to predict (reference mode '2')"
+    )
+    p.add_argument("--out", required=True, help="result directory")
+    p.add_argument(
+        "--weights-dir",
+        help="directory with {model}.npz checkpoints (res34/hrnet/v3plus/scse/bam); "
+        "missing models run with random weights",
+    )
+    p.add_argument("--batch-tiles", type=int, default=8)
+    p.add_argument(
+        "--precision",
+        choices=["bf16", "f32"],
+        default="bf16",
+        help="activation dtype: bf16 for speed, f32 for bit-parity",
+    )
+    p.add_argument(
+        "--keep-intermediates",
+        action="store_true",
+        help="keep per-model masks (the reference deletes them, predict.py:174-178)",
+    )
+    p.add_argument("--config", help="JSON config overriding the reference constants")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from building_detection_tpu.core.config import Config
+    from building_detection_tpu.infer.pipeline import Pipeline
+    from building_detection_tpu.models.registry import ENSEMBLE_ORDER
+
+    cfg = Config.from_json(args.config) if args.config else Config()
+    weights = {}
+    if args.weights_dir:
+        for name in ENSEMBLE_ORDER:
+            path = os.path.join(args.weights_dir, f"{name}.npz")
+            if os.path.exists(path):
+                weights[name] = path
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    pipe = Pipeline(
+        weights=weights, cfg=cfg, batch_tiles=args.batch_tiles, compute_dtype=dtype
+    )
+
+    if args.image:
+        images = [args.image]
+    else:
+        images = [
+            os.path.join(args.image_dir, f)
+            for f in sorted(os.listdir(args.image_dir))
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp"))
+        ]
+    if not images:
+        print("no images found", file=sys.stderr)
+        return 2
+
+    for path in images:
+        name = os.path.splitext(os.path.basename(path))[0]
+        out_dir = os.path.join(args.out, name)
+        result = pipe.predict_file(
+            path, out_dir, name=name, keep_intermediates=args.keep_intermediates
+        )
+        print(
+            json.dumps(
+                {
+                    "image": path,
+                    "result": os.path.join(out_dir, f"{name}_result.png"),
+                    "points": os.path.join(out_dir, f"{name}.txt"),
+                    "num_buildings": len(result.corners),
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

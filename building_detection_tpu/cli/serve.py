@@ -1,0 +1,48 @@
+"""Serving CLI (`/root/reference/buildAPI.py:232-233`: 0.0.0.0:5001)."""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bdt-serve", description="HTTP building-detection service (POST /photo)."
+    )
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=5001)
+    p.add_argument("--weights-dir")
+    p.add_argument("--root-dir", default=".", help="where receive_file/ and all_result/ live")
+    p.add_argument("--batch-tiles", type=int, default=8)
+    p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from building_detection_tpu.core.config import Config
+    from building_detection_tpu.infer.pipeline import Pipeline
+    from building_detection_tpu.models.registry import ENSEMBLE_ORDER
+    from building_detection_tpu.serve.server import serve
+
+    weights = {}
+    if args.weights_dir:
+        for name in ENSEMBLE_ORDER:
+            path = os.path.join(args.weights_dir, f"{name}.npz")
+            if os.path.exists(path):
+                weights[name] = path
+    pipe = Pipeline(
+        weights=weights,
+        batch_tiles=args.batch_tiles,
+        compute_dtype=jnp.bfloat16 if args.precision == "bf16" else jnp.float32,
+    )
+    print("模型加载完成 (models loaded)")
+    serve(pipe, Config(), root_dir=args.root_dir, host=args.host, port=args.port)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,88 @@
+"""Training CLI — the `train_model/*.py` scripts as one parameterised entry
+point (`/root/reference/train_model/res34.py` x5, identical harnesses)."""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bdt-train", description="Train one zoo model with the reference recipe."
+    )
+    p.add_argument("model", choices=["res34", "hrnet", "v3plus", "scse", "bam"])
+    p.add_argument("--train-images", required=True)
+    p.add_argument("--train-labels", required=True)
+    p.add_argument("--val-images")
+    p.add_argument("--val-labels")
+    p.add_argument("--checkpoint-dir", default="weights1")
+    p.add_argument("--resume", help="checkpoint to resume from (exact, incl. optimizer)")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--warmup-epochs", type=int, default=3)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument(
+        "--loss",
+        choices=["edge_focal_loss", "focal_loss", "binary_crossentropy"],
+        default="edge_focal_loss",
+    )
+    p.add_argument("--augment-seed", type=int, help="enable on-device augmentation")
+    p.add_argument(
+        "--precision", choices=["bf16", "f32"], default="bf16",
+        help="activation dtype for the train step",
+    )
+    p.add_argument("--data-parallel", type=int, default=-1, help="devices on the data axis")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from building_detection_tpu.core.config import TrainConfig
+    from building_detection_tpu.data.dataset import batch_iterator, list_pairs
+    from building_detection_tpu.parallel.mesh import make_mesh
+    from building_detection_tpu.train.trainer import Trainer
+
+    cfg = TrainConfig(
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        warmup_epochs=args.warmup_epochs,
+        lr_base=args.lr,
+        loss=args.loss,
+        image_size=args.image_size,
+    )
+    train_pairs = list_pairs(args.train_images, args.train_labels)
+    print(f"training samples: {len(train_pairs)}")
+    steps = max(len(train_pairs) // cfg.batch_size, 1)
+    trainer = Trainer(
+        args.model,
+        cfg,
+        steps_per_epoch=steps,
+        mesh=make_mesh(data=args.data_parallel),
+        compute_dtype=jnp.bfloat16 if args.precision == "bf16" else jnp.float32,
+    )
+    if args.resume:
+        trainer.restore(args.resume)
+        print(f"resumed from {args.resume} at step {trainer.step}")
+
+    train_iter = batch_iterator(
+        train_pairs, cfg.batch_size, cfg.image_size, augment_rng=args.augment_seed
+    )
+    val_iter, val_steps = None, 0
+    if args.val_images and args.val_labels:
+        val_pairs = list_pairs(args.val_images, args.val_labels)
+        print(f"validation samples: {len(val_pairs)}")
+        val_iter = batch_iterator(val_pairs, cfg.batch_size, cfg.image_size)
+        val_steps = max(len(val_pairs) // cfg.batch_size, 1)
+
+    trainer.fit(
+        train_iter, val_iter, val_steps, checkpoint_dir=args.checkpoint_dir
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,90 @@
+"""Training dataset: file lists -> uint8 batches.
+
+Rebuild of the reference's Python generators (`/root/reference/train_model/
+res34.py:57-157`): sorted image/label pairing, infinite cycling, fixed batch
+size.  Unlike the reference, decoding yields raw uint8 — normalisation,
+one-hot and edge-weight maps happen on device inside the jitted train step
+(:func:`building_detection_tpu.train.trainer.make_targets`), so the host
+feeder only reads files.  An optional on-device augmentation hook applies
+:func:`building_detection_tpu.data.augment.augment_batch` per batch.
+"""
+from __future__ import annotations
+
+import itertools
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def list_pairs(img_dir: str, lab_dir: str, exts=(".png", ".jpg", ".tif", ".tiff")):
+    """Sorted (image, label) path pairs; counts must match
+    (`res34.py:25-33` asserts equality)."""
+    imgs = sorted(
+        os.path.join(img_dir, f)
+        for f in os.listdir(img_dir)
+        if f.lower().endswith(exts)
+    )
+    labs = sorted(
+        os.path.join(lab_dir, f)
+        for f in os.listdir(lab_dir)
+        if f.lower().endswith(exts)
+    )
+    if len(imgs) != len(labs):
+        raise ValueError(
+            f"image/label count mismatch: {len(imgs)} vs {len(labs)}"
+        )
+    return list(zip(imgs, labs))
+
+
+def decode_pair(
+    img_path: str, lab_path: str, image_size: int = 512
+) -> Tuple[np.ndarray, np.ndarray]:
+    """uint8 (H,W,3) RGB + (H,W) gray, resized to ``image_size``
+    (`res34.py:36-54`; values stay uint8 — device code normalises)."""
+    from PIL import Image
+
+    with Image.open(img_path) as im:
+        img = np.asarray(
+            im.convert("RGB").resize((image_size, image_size), Image.BILINEAR)
+        )
+    with Image.open(lab_path) as im:
+        lab = np.asarray(
+            im.convert("L").resize((image_size, image_size), Image.BILINEAR)
+        )
+    return img, lab
+
+
+def batch_iterator(
+    pairs: Sequence[Tuple[str, str]],
+    batch_size: int = 8,
+    image_size: int = 512,
+    augment_rng: Optional[int] = None,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Infinite (images, labels) uint8 batches, cycling in sorted order
+    (`res34.py:57-111` uses ``itertools.cycle`` over the sorted lists)."""
+    cycled = itertools.cycle(pairs)
+    rng_key = None
+    if augment_rng is not None:
+        import jax
+
+        from building_detection_tpu.data.augment import augment_batch
+
+        rng_key = jax.random.key(augment_rng)
+        aug = jax.jit(augment_batch)
+    while True:
+        imgs, labs = [], []
+        for _ in range(batch_size):
+            ip, lp = next(cycled)
+            img, lab = decode_pair(ip, lp, image_size)
+            imgs.append(img)
+            labs.append(lab)
+        images = np.stack(imgs)
+        labels = np.stack(labs)
+        if rng_key is not None:
+            import jax
+
+            rng_key, sub = jax.random.split(rng_key)
+            images, labels = aug(images, labels, sub)
+            images, labels = np.asarray(images), np.asarray(labels)
+        yield images, labels

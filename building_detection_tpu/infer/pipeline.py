@@ -1,0 +1,114 @@
+"""Full prediction pipeline: image -> 5 masks -> fused mask -> polygons.
+
+The reference pipeline (`/root/reference/predict.py:135-181`) moves data
+between stages through PNG files on disk; here arrays flow in memory and
+files appear only where the CLI/serving contracts require them
+(per-model masks, ``{name}_result.png``, ``{name}.txt``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from building_detection_tpu.core.config import Config
+from building_detection_tpu.infer.engine import EnsemblePredictor
+from building_detection_tpu.models.registry import (
+    ENSEMBLE_ORDER,
+    MODEL_REGISTRY,
+    init_model,
+)
+from building_detection_tpu.post import edges as E
+from building_detection_tpu.post import fusion as F
+from building_detection_tpu.train.checkpoint import load_variables
+from building_detection_tpu.utils import io as uio
+
+
+@dataclasses.dataclass
+class PredictResult:
+    masks: Dict[str, np.ndarray]  # per-model {0,255} masks
+    fused: np.ndarray             # fused {0,255} mask
+    corners: List[List[list]]     # closed polygon rings [[xs, ys], ...]
+    height: int
+
+
+class Pipeline:
+    """End-to-end detector with all five models resident on device.
+
+    ``weights`` maps model name -> checkpoint path (``.npz`` from
+    :mod:`building_detection_tpu.train.checkpoint`); missing entries fall
+    back to randomly initialised weights (useful for shape/throughput work,
+    and mirrors the reference's swallow-the-load-error behaviour,
+    `predict.py:17-54` — except we *say* so loudly).
+    """
+
+    def __init__(
+        self,
+        weights: Optional[Dict[str, str]] = None,
+        cfg: Config = Config(),
+        batch_tiles: int = 8,
+        compute_dtype=jnp.bfloat16,
+        models: tuple = ENSEMBLE_ORDER,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        weights = weights or {}
+        members = {}
+        for i, name in enumerate(models):
+            fn = MODEL_REGISTRY[name]
+            if name in weights:
+                params, state, _, _, _ = load_variables(weights[name])
+                params = {k: jnp.asarray(v) for k, v in params.items()}
+                state = {k: jnp.asarray(v) for k, v in state.items()}
+            else:
+                print(
+                    f"[pipeline] no weights for {name!r}: using random init"
+                )
+                params, state = init_model(
+                    name, jax.random.key(seed + i), (1, cfg.tiler.tile, cfg.tiler.tile, 3)
+                )
+            members[name] = (fn, params, state)
+        self.ensemble = EnsemblePredictor(
+            members, cfg.tiler, batch_tiles, compute_dtype
+        )
+
+    def predict_image(self, image_rgb: np.ndarray) -> PredictResult:
+        """RGB array in, polygons out; nothing touches the filesystem."""
+        masks = self.ensemble.predict_masks(image_rgb)
+        # The reference fuses masks in glob (alphabetical) order
+        # (`model_fuse.py:278`); the vote is order-invariant, so any order
+        # yields the same fused mask.
+        fused = F.fuse_masks([masks[k] for k in sorted(masks)], self.cfg.fuse)
+        corners, height = E.extract_polygons(fused, self.cfg.edge)
+        return PredictResult(masks, fused, corners, height)
+
+    def predict_file(
+        self,
+        img_path: str,
+        out_dir: str,
+        name: Optional[str] = None,
+        keep_intermediates: bool = False,
+    ) -> PredictResult:
+        """File-in / files-out contract of `predict.py:141-178`.
+
+        Writes ``{model}_{name}.png`` per model (deleted afterwards unless
+        ``keep_intermediates``, like `predict.py:174-178`),
+        ``{name}_result.png`` and ``{name}.txt``.
+        """
+        if name is None:
+            name = os.path.splitext(os.path.basename(img_path))[0]
+        os.makedirs(out_dir, exist_ok=True)
+        image = uio.imread_rgb(img_path)
+        result = self.predict_image(image)
+        if keep_intermediates:
+            for model_name, mask in result.masks.items():
+                uio.imwrite(
+                    os.path.join(out_dir, f"{model_name}_{name}.png"), mask
+                )
+        uio.imwrite(os.path.join(out_dir, f"{name}_result.png"), result.fused)
+        uio.write_points(result.corners, os.path.join(out_dir, f"{name}.txt"))
+        return result

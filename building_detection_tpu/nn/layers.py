@@ -70,6 +70,7 @@ def conv2d(
 ) -> Array:
     """``keras.layers.Conv2D`` equivalent (NHWC, HWIO kernel)."""
     name = s.auto_name("conv2d", name)
+    x = x.astype(s.compute_dtype)
     kh, kw = _pair(kernel_size)
     in_ch = x.shape[-1]
     w = s.param(f"{name}/kernel", (kh, kw, in_ch, features), kernel_init)
@@ -106,6 +107,7 @@ def separable_conv2d(
     (`/root/reference/predict_model/v3plus.py:185-280`).
     """
     name = s.auto_name("separable_conv2d", name)
+    x = x.astype(s.compute_dtype)
     kh, kw = _pair(kernel_size)
     in_ch = x.shape[-1]
     dw = s.param(f"{name}/depthwise_kernel", (kh, kw, 1, in_ch), glorot_uniform)
@@ -152,6 +154,7 @@ def conv2d_transpose(
     what TF computes (`/root/reference/predict_model/scse.py:71` etc.).
     """
     name = s.auto_name("conv2d_transpose", name)
+    x = x.astype(s.compute_dtype)
     kh, kw = _pair(kernel_size)
     in_ch = x.shape[-1]
     w = s.param(f"{name}/kernel", (kh, kw, features, in_ch), kernel_init)
@@ -180,6 +183,7 @@ def dense(
     name: Optional[str] = None,
 ) -> Array:
     name = s.auto_name("dense", name)
+    x = x.astype(s.compute_dtype)
     w = s.param(f"{name}/kernel", (x.shape[-1], features), kernel_init)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
     if use_bias:
@@ -202,6 +206,7 @@ def batch_norm(
     ``moving = moving * momentum + batch * (1 - momentum)``.
     """
     name = s.auto_name("batch_normalization", name)
+    x = x.astype(s.compute_dtype)
     ch = x.shape[-1]
     gamma = s.param(f"{name}/gamma", (ch,), ones_init)
     beta = s.param(f"{name}/beta", (ch,), zeros_init)
@@ -236,10 +241,29 @@ def max_pool(
     """``keras.layers.MaxPooling2D`` (default pool 2, stride=pool, valid)."""
     ph, pw = _pair(pool_size)
     sh, sw = _pair(strides) if strides is not None else (ph, pw)
-    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    if (sh > ph or sw > pw) and padding == "VALID":
+        # Gapped pooling (e.g. MaxPool2D(strides=4) in res34's
+        # low_to_high_feature): reduce_window with stride > window has no
+        # autodiff linearization rule, so take the max over strided slices —
+        # identical values, fully differentiable.
+        h, w = x.shape[1], x.shape[2]
+        oh = (h - ph) // sh + 1
+        ow = (w - pw) // sw + 1
+        out = None
+        for dy in range(ph):
+            for dx in range(pw):
+                v = x[:, dy : dy + sh * (oh - 1) + 1 : sh, dx : dx + sw * (ow - 1) + 1 : sw, :]
+                out = v if out is None else jnp.maximum(out, v)
+        return out
+    # NOTE: init must be a Python scalar — an array init degrades the op to a
+    # generic reduce_window with no autodiff linearization rule.
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        neg_inf = -float("inf")
+    else:
+        neg_inf = int(jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
         x,
-        jnp.asarray(neg_inf, x.dtype),
+        neg_inf,
         lax.max,
         window_dimensions=(1, ph, pw, 1),
         window_strides=(1, sh, sw, 1),
@@ -257,7 +281,7 @@ def avg_pool(
     sh, sw = _pair(strides) if strides is not None else (ph, pw)
     summed = lax.reduce_window(
         x.astype(jnp.float32),
-        jnp.float32(0),
+        0.0,
         lax.add,
         window_dimensions=(1, ph, pw, 1),
         window_strides=(1, sh, sw, 1),

@@ -47,7 +47,7 @@ def _window(x: Array, kh: int, kw: int, op, init) -> Array:
     ]
     return lax.reduce_window(
         x,
-        jnp.asarray(init, x.dtype),
+        init,
         op,
         window_dimensions=dims,
         window_strides=(1,) * x.ndim,
@@ -57,21 +57,30 @@ def _window(x: Array, kh: int, kw: int, op, init) -> Array:
 
 def erode(x: Array, kernel: Union[int, Tuple[int, int]], iterations: int = 1) -> Array:
     """Min filter == ``cv2.erode(x, np.ones(kernel), iterations=n)``."""
+    import numpy as np
+
     kh, kw = _effective_kernel(_pair(kernel), iterations)
+    # init must be a SCALAR of the operand dtype: python ints become int32
+    # (dtype mismatch) and jnp arrays degrade the op to a generic
+    # reduce_window with no autodiff rule.
     if jnp.issubdtype(x.dtype, jnp.floating):
-        init = jnp.inf
+        init = float("inf") if x.dtype == jnp.float32 else np.asarray(np.inf, x.dtype)[()]
     else:
-        init = jnp.iinfo(x.dtype).max
+        init = np.asarray(jnp.iinfo(x.dtype).max, x.dtype)[()]
     return _window(x, kh, kw, lax.min, init)
 
 
 def dilate(x: Array, kernel: Union[int, Tuple[int, int]], iterations: int = 1) -> Array:
     """Max filter == ``cv2.dilate(x, np.ones(kernel), iterations=n)``."""
+    import numpy as np
+
     kh, kw = _effective_kernel(_pair(kernel), iterations)
     if jnp.issubdtype(x.dtype, jnp.floating):
-        init = -jnp.inf
+        init = -float("inf") if x.dtype == jnp.float32 else np.asarray(-np.inf, x.dtype)[()]
+    elif jnp.issubdtype(x.dtype, jnp.unsignedinteger):
+        init = np.asarray(0, x.dtype)[()]
     else:
-        init = 0 if jnp.issubdtype(x.dtype, jnp.unsignedinteger) else jnp.iinfo(x.dtype).min
+        init = np.asarray(jnp.iinfo(x.dtype).min, x.dtype)[()]
     return _window(x, kh, kw, lax.max, init)
 
 

@@ -1,0 +1,54 @@
+"""Device mesh + sharding helpers.
+
+The reference is strictly single-GPU (SURVEY.md section 2.3); all multi-device
+execution in this framework goes through one ``jax.sharding.Mesh`` and XLA
+collectives — no custom transport.  Axes:
+
+* ``data``  — batch / tile data parallelism (gradients all-reduce over ICI);
+* ``model`` — reserved for channel tensor parallelism and ensemble groups.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data: int = -1, model: int = 1, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Mesh over the available devices; ``data=-1`` uses all of them."""
+    devices = list(devices if devices is not None else jax.devices())
+    if data == -1:
+        data = len(devices) // model
+    if data * model != len(devices):
+        devices = devices[: data * model]
+    arr = np.array(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch (leading dim divisible by |data|) onto the mesh."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data_sharded(mesh, np.ndim(x))), batch
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, replicated(mesh)), tree
+    )

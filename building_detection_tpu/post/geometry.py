@@ -1,0 +1,518 @@
+"""Host-side contour/polygon geometry — the framework's replacement for the
+reference's OpenCV C++ dependency.
+
+The reference leans on ``cv2`` for all mask analytics
+(`/root/reference/model_fuse.py`, `/root/reference/edge_3.py`): border
+following, polygon area/perimeter, Douglas-Peucker simplification, minimum
+area rectangles, hole filling.  These are sequential, branchy, small-data
+algorithms — host-shaped, not TPU-shaped (SURVEY.md section 2) — so this
+module implements them for the final masks on the host:
+
+* the hot paths (`find_contours` tracing, `fill_holes`) have a C++
+  implementation in ``native/`` loaded via ctypes, with the NumPy/scipy code
+  here as the always-available fallback;
+* semantics are pinned to OpenCV's by the test suite
+  (``tests/test_geometry.py``), which uses cv2 purely as an oracle.
+
+Contours are (N, 2) int32 arrays of (x, y) points, traced like
+``cv2.findContours(mode=RETR_EXTERNAL, method=CHAIN_APPROX_NONE)`` —
+Suzuki-Abe border following of 8-connected components, all border pixels.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+# 8-connectivity structure for foreground labeling (background is implicitly
+# 4-connected, matching findContours' topology).
+_STRUCT8 = np.ones((3, 3), np.int32)
+
+# Moore neighbourhood in clockwise order starting from "west":
+# (dy, dx) for directions W, NW, N, NE, E, SE, S, SW
+_NEIGHBORS = np.array(
+    [(0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1)],
+    np.int32,
+)
+
+try:  # optional C++ fast path (built from native/)
+    from building_detection_tpu.post import _native as _nat
+except Exception:  # pragma: no cover - fallback is always valid
+    _nat = None
+
+
+# ---------------------------------------------------------------------------
+# Border following
+# ---------------------------------------------------------------------------
+def _trace_border(mask: np.ndarray, start: Tuple[int, int]) -> np.ndarray:
+    """Suzuki-Abe outer-border following from the raster-first border pixel.
+
+    ``start`` is (row, col) of a foreground pixel whose west neighbour is
+    background.  Returns the border pixels as (N, 2) (x, y), in the order
+    cv2's CHAIN_APPROX_NONE emits them.
+    """
+    h, w = mask.shape
+    i, j = start
+
+    def pixel(y, x):
+        return 0 <= y < h and 0 <= x < w and mask[y, x]
+
+    # step 3.1: from the west neighbour, search CLOCKWISE around (i, j) for
+    # the first foreground pixel
+    first_dir = None
+    for k in range(8):
+        dy, dx = _NEIGHBORS[k % 8]
+        if pixel(i + dy, j + dx):
+            first_dir = k
+            break
+    if first_dir is None:  # isolated pixel
+        return np.array([[j, i]], np.int32)
+
+    i1, j1 = i + _NEIGHBORS[first_dir][0], j + _NEIGHBORS[first_dir][1]
+    i2, j2 = i1, j1
+    i3, j3 = i, j
+    points = []
+    while True:
+        # step 3.3: search counterclockwise around (i3, j3), starting from
+        # the next direction after (i2, j2)
+        d2 = _dir_of(i2 - i3, j2 - j3)
+        found = None
+        for step in range(1, 9):
+            k = (d2 - step) % 8  # counterclockwise
+            dy, dx = _NEIGHBORS[k]
+            if pixel(i3 + dy, j3 + dx):
+                found = k
+                break
+        points.append((j3, i3))  # (x, y)
+        i4, j4 = i3 + _NEIGHBORS[found][0], j3 + _NEIGHBORS[found][1]
+        # step 3.5: stop when we return to the start in the initial config
+        if (i4, j4) == (i, j) and (i3, j3) == (i1, j1):
+            break
+        i2, j2 = i3, j3
+        i3, j3 = i4, j4
+    return np.array(points, np.int32)
+
+
+_DIR_LOOKUP = {(int(dy), int(dx)): k for k, (dy, dx) in enumerate(_NEIGHBORS)}
+
+
+def _dir_of(dy: int, dx: int) -> int:
+    return _DIR_LOOKUP[(dy, dx)]
+
+
+def find_contours(mask: np.ndarray) -> List[np.ndarray]:
+    """External contours of all top-level 8-connected components.
+
+    Equivalent to ``cv2.findContours(mask, RETR_EXTERNAL, CHAIN_APPROX_NONE)``
+    for binary masks: components nested inside holes of other components are
+    not reported.  Point sequences match cv2's border following; the list is
+    ordered by first raster encounter of each component's topmost border
+    pixel (cv2 returns the reverse order; use :func:`cv2_order` if the exact
+    list order matters).
+    """
+    mask = np.ascontiguousarray((np.asarray(mask) != 0).astype(np.uint8))
+    if _nat is not None:
+        return _nat.find_contours(mask)
+    return _find_contours_py(mask)
+
+
+def _find_contours_py(mask: np.ndarray) -> List[np.ndarray]:
+    """Pure NumPy/scipy fallback for :func:`find_contours`."""
+    # top-level components: label the hole-filled mask
+    filled = ndimage.binary_fill_holes(mask)
+    labels, n = ndimage.label(filled, structure=_STRUCT8)
+    contours = []
+    for lbl in range(1, n + 1):
+        region = labels == lbl
+        ys, xs = np.nonzero(region)
+        # raster-first border pixel: topmost row, leftmost column
+        top = ys.min()
+        left = xs[ys == top].min()
+        contours.append(_trace_border(region, (int(top), int(left))))
+    return contours
+
+
+def cv2_order(contours: List[np.ndarray]) -> List[np.ndarray]:
+    """cv2 returns external contours in reverse raster order of discovery."""
+    return list(reversed(contours))
+
+
+# ---------------------------------------------------------------------------
+# Contour analytics (cv2 semantics)
+# ---------------------------------------------------------------------------
+def contour_area(contour: np.ndarray) -> float:
+    """``cv2.contourArea``: |Green's formula| over the point polygon."""
+    pts = np.asarray(contour, np.float64).reshape(-1, 2)
+    x, y = pts[:, 0], pts[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    return abs(float(np.sum(x * y1 - x1 * y)) / 2.0)
+
+
+def signed_area(contour: np.ndarray) -> float:
+    """Green's formula with sign (== ``cv2.moments(c)['m00']`` for contours)."""
+    pts = np.asarray(contour, np.float64).reshape(-1, 2)
+    x, y = pts[:, 0], pts[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    return float(np.sum(x * y1 - x1 * y)) / 2.0
+
+
+def bounding_rect(contour: np.ndarray) -> Tuple[int, int, int, int]:
+    """``cv2.boundingRect``: (x, y, w, h) with inclusive +1 extents."""
+    pts = np.asarray(contour).reshape(-1, 2)
+    x0, y0 = pts[:, 0].min(), pts[:, 1].min()
+    x1, y1 = pts[:, 0].max(), pts[:, 1].max()
+    return int(x0), int(y0), int(x1 - x0 + 1), int(y1 - y0 + 1)
+
+
+def arc_length(contour: np.ndarray, closed: bool = True) -> float:
+    """``cv2.arcLength``: polyline length, optionally closing the ring."""
+    pts = np.asarray(contour, np.float64).reshape(-1, 2)
+    if len(pts) < 2:
+        return 0.0
+    if closed:
+        pts = np.concatenate([pts, pts[:1]], axis=0)
+    seg = pts[1:] - pts[:-1]
+    # cv2 rounds each segment length to float32 before accumulating
+    lengths = np.sqrt((seg**2).sum(axis=1)).astype(np.float32)
+    return float(lengths.astype(np.float64).sum())
+
+
+def moments_m00(contour: np.ndarray) -> float:
+    """``cv2.moments(c)['m00']`` (contour moments are polygon integrals)."""
+    return abs(signed_area(contour))
+
+
+# ---------------------------------------------------------------------------
+# Polygon simplification (cv2.approxPolyDP semantics)
+# ---------------------------------------------------------------------------
+def approx_poly_dp(contour: np.ndarray, epsilon: float, closed: bool = True) -> np.ndarray:
+    """Douglas-Peucker reproducing ``cv2.approxPolyDP`` decisions exactly.
+
+    OpenCV's algorithm for closed curves (validated point-for-point against
+    cv2 in ``tests/test_geometry.py``):
+
+    1. three iterations of farthest-point search pick the initial chord
+       (from point 0 -> F1, F1 -> F2, F2 -> F3; slices are (F2,F3), (F3,F2));
+    2. recursive splitting keeps each slice's start point when the max
+       unnormalised-cross distance satisfies ``d^2 <= eps^2 * |chord|^2``,
+       scanning interior points in order with strict-> argmax;
+    3. one final cleanup pass drops a point when it lies within
+       ``sqrt(0.5) * eps`` of its neighbours' chord, the chord is not
+       axis-aligned, and the successive inner product is non-negative.
+    """
+    pts = np.asarray(contour, np.int64).reshape(-1, 2)
+    n = len(pts)
+    if n <= 2 or epsilon < 0:
+        return pts.astype(np.int32)
+    eps2 = float(epsilon) * float(epsilon)
+
+    if not closed:
+        # open curves are not used by the reference pipelines; plain DP
+        keep = np.zeros(n, bool)
+        keep[0] = keep[-1] = True
+        _dp_open(pts, 0, n - 1, eps2, keep)
+        return pts[keep].astype(np.int32)
+
+    # -- stage 1: initial chord via 3 farthest-point iterations ------------
+    pos = 0
+    rs_start = 0
+    le_eps = False
+    for _ in range(3):
+        pos = (pos + rs_start) % n
+        start = pts[pos]
+        order = (np.arange(1, n) + pos) % n
+        d = pts[order] - start
+        dist = d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]
+        j = int(np.argmax(dist))  # first max (strict >)
+        rs_start = j + 1  # offset from start
+        le_eps = float(dist[j]) <= eps2
+    if le_eps:
+        return np.array([pts[pos]], np.int32)
+
+    s_start = pos
+    s_end = (pos + rs_start) % n
+    # push right_slice (s_end -> s_start) first, then slice: pop order keeps
+    # output in traversal order from s_start
+    stack = [(s_end, s_start), (s_start, s_end)]
+    out = []
+    while stack:
+        a, b = stack.pop()
+        interior_start = (a + 1) % n
+        if interior_start == b:
+            out.append(pts[a])
+            continue
+        pa, pb = pts[a], pts[b]
+        dx, dy = float(pb[0] - pa[0]), float(pb[1] - pa[1])
+        count = (b - interior_start) % n
+        order = (np.arange(count) + interior_start) % n
+        seg = pts[order]
+        cross = np.abs(
+            (seg[:, 1] - pa[1]).astype(np.float64) * dx
+            - (seg[:, 0] - pa[0]).astype(np.float64) * dy
+        )
+        k = int(np.argmax(cross))
+        max_dist = float(cross[k])
+        if max_dist * max_dist <= eps2 * (dx * dx + dy * dy):
+            out.append(pts[a])
+        else:
+            far = int(order[k])
+            stack.append((far, b))
+            stack.append((a, far))
+    out = np.array(out, np.int64)
+
+    # -- stage 3: single cleanup pass (cv2's exact conditions) -------------
+    count = len(out)
+    if count <= 2:
+        return out.astype(np.int32)
+    dst = out.copy()
+    result = []
+    pos = count - 1
+    start_pt = dst[pos]
+    pos = (pos + 1) % count
+    pt = dst[pos]
+    pos = (pos + 1) % count
+    new_count = count
+    i = 0
+    while i < count and new_count > 2:
+        end_pt = dst[pos]
+        pos = (pos + 1) % count
+        dx, dy = float(end_pt[0] - start_pt[0]), float(end_pt[1] - start_pt[1])
+        dist = abs(
+            float(pt[0] - start_pt[0]) * dy - float(pt[1] - start_pt[1]) * dx
+        )
+        sip = float(pt[0] - start_pt[0]) * float(end_pt[0] - pt[0]) + float(
+            pt[1] - start_pt[1]
+        ) * float(end_pt[1] - pt[1])
+        if (
+            dist * dist <= 0.5 * eps2 * (dx * dx + dy * dy)
+            and dx != 0
+            and dy != 0
+            and sip >= 0
+        ):
+            new_count -= 1
+            result.append(end_pt)
+            start_pt = end_pt
+            pt = dst[pos]
+            pos = (pos + 1) % count
+            i += 2
+            continue
+        result.append(pt)
+        start_pt = pt
+        pt = end_pt
+        i += 1
+    return np.array(result[:new_count], np.int32)
+
+
+def _dp_open(pts, a, b, eps2, keep):
+    stack = [(a, b)]
+    while stack:
+        a, b = stack.pop()
+        if b - a <= 1:
+            continue
+        pa, pb = pts[a], pts[b]
+        dx, dy = float(pb[0] - pa[0]), float(pb[1] - pa[1])
+        seg = pts[a + 1 : b]
+        cross = np.abs(
+            (seg[:, 1] - pa[1]).astype(np.float64) * dx
+            - (seg[:, 0] - pa[0]).astype(np.float64) * dy
+        )
+        k = int(np.argmax(cross))
+        if float(cross[k]) ** 2 <= eps2 * (dx * dx + dy * dy):
+            continue
+        keep[a + 1 + k] = True
+        stack.append((a + 1 + k, b))
+        stack.append((a, a + 1 + k))
+
+
+# ---------------------------------------------------------------------------
+# Minimum-area rectangle
+# ---------------------------------------------------------------------------
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; (M, 2) CCW in image coords."""
+    pts = np.unique(np.asarray(points, np.int64).reshape(-1, 2), axis=0)
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    if len(pts) <= 2:
+        return pts
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2:
+                a, b = out[-1] - out[-2], p - out[-2]
+                if a[0] * b[1] - a[1] * b[0] > 0:  # 2-D cross product
+                    break
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1], np.int64)
+
+
+def min_area_rect(contour: np.ndarray) -> Tuple[Tuple[float, float], Tuple[float, float], float]:
+    """``cv2.minAreaRect``: ((cx, cy), (w, h), angle) via rotating calipers."""
+    hull = convex_hull(contour).astype(np.float64)
+    m = len(hull)
+    if m == 1:
+        return (tuple(hull[0]), (0.0, 0.0), 0.0)
+    if m == 2:
+        c = hull.mean(axis=0)
+        d = hull[1] - hull[0]
+        ang = math.degrees(math.atan2(d[1], d[0]))
+        return ((c[0], c[1]), (float(np.hypot(*d)), 0.0), ang)
+    best = None
+    for k in range(m):
+        e = hull[(k + 1) % m] - hull[k]
+        norm = np.hypot(*e)
+        if norm == 0:
+            continue
+        ux, uy = e / norm  # edge direction
+        # rotate all hull points into the edge frame
+        xs = hull[:, 0] * ux + hull[:, 1] * uy
+        ys = -hull[:, 0] * uy + hull[:, 1] * ux
+        w = xs.max() - xs.min()
+        h = ys.max() - ys.min()
+        area = w * h
+        if best is None or area < best[0]:
+            cx_r = (xs.max() + xs.min()) / 2
+            cy_r = (ys.max() + ys.min()) / 2
+            cx = cx_r * ux - cy_r * uy
+            cy = cx_r * uy + cy_r * ux
+            best = (area, (cx, cy), (w, h), math.degrees(math.atan2(uy, ux)))
+    _, center, size, angle = best
+    return (center, size, angle)
+
+
+def box_points(rect) -> np.ndarray:
+    """``cv2.boxPoints``: the 4 rectangle corners as float32 (4, 2)."""
+    (cx, cy), (w, h), angle = rect
+    a = math.radians(angle)
+    ux, uy = math.cos(a), math.sin(a)
+    vx, vy = -uy, ux
+    hw, hh = w / 2.0, h / 2.0
+    corners = np.array(
+        [
+            [cx - hw * ux - hh * vx, cy - hw * uy - hh * vy],
+            [cx + hw * ux - hh * vx, cy + hw * uy - hh * vy],
+            [cx + hw * ux + hh * vx, cy + hw * uy + hh * vy],
+            [cx - hw * ux + hh * vx, cy - hw * uy + hh * vy],
+        ],
+        np.float32,
+    )
+    return corners
+
+
+# ---------------------------------------------------------------------------
+# Rasterisation / components
+# ---------------------------------------------------------------------------
+def fill_holes(mask: np.ndarray) -> np.ndarray:
+    """Component pixels + interior holes (== fillPoly over the external
+    contour for pixel-chain contours, `model_fuse.py:18`)."""
+    m = np.asarray(mask) != 0
+    if _nat is not None:
+        return _nat.fill_holes(np.ascontiguousarray(m.astype(np.uint8)))
+    return ndimage.binary_fill_holes(m).astype(np.uint8)
+
+
+def components_filled(mask: np.ndarray) -> List[np.ndarray]:
+    """One hole-filled boolean raster per top-level component.
+
+    The workhorse behind the reference's draw-one-contour-filled idiom
+    (`model_fuse.py:177-178`): each returned raster is what
+    ``cv2.drawContours(blank, contours, i, 255, FILLED)`` paints.
+    """
+    m = np.asarray(mask) != 0
+    filled = ndimage.binary_fill_holes(m)
+    labels, n = ndimage.label(filled, structure=_STRUCT8)
+    return [(labels == lbl).astype(np.uint8) for lbl in range(1, n + 1)]
+
+
+def erode_np(mask: np.ndarray, kernel: Tuple[int, int], iterations: int = 1) -> np.ndarray:
+    """Host-side ``cv2.erode`` (flat kernel, default border = max)."""
+    kh, kw = kernel
+    size = (iterations * (kh - 1) + 1, iterations * (kw - 1) + 1)
+    return ndimage.minimum_filter(mask, size=size, mode="constant", cval=255)
+
+
+def dilate_np(mask: np.ndarray, kernel: Tuple[int, int], iterations: int = 1) -> np.ndarray:
+    """Host-side ``cv2.dilate`` (flat kernel, default border = 0)."""
+    kh, kw = kernel
+    size = (iterations * (kh - 1) + 1, iterations * (kw - 1) + 1)
+    return ndimage.maximum_filter(mask, size=size, mode="constant", cval=0)
+
+
+def draw_contours_filled(shape: Tuple[int, int], contours: List[np.ndarray]) -> np.ndarray:
+    """OR of hole-filled polygons, like repeated drawContours(..., FILLED).
+
+    For our pixel-chain contours the filled polygon equals the traced
+    component plus its holes, so we rasterise by scanline polygon fill and
+    include all boundary pixels.
+    """
+    out = np.zeros(shape, np.uint8)
+    for c in contours:
+        fill_polygon_(out, c, 255)
+    return out
+
+
+def fill_polygon_(img: np.ndarray, contour: np.ndarray, value: int) -> None:
+    """In-place scanline even-odd polygon fill incl. boundary (cv2.fillPoly
+    semantics for integer-vertex polygons)."""
+    pts = np.asarray(contour, np.int64).reshape(-1, 2)
+    if len(pts) == 0:
+        return
+    if len(pts) <= 2:
+        for x, y in pts:
+            if 0 <= y < img.shape[0] and 0 <= x < img.shape[1]:
+                img[y, x] = value
+        if len(pts) == 2:
+            _draw_line_(img, pts[0], pts[1], value)
+        return
+    h, w = img.shape[:2]
+    ymin = max(int(pts[:, 1].min()), 0)
+    ymax = min(int(pts[:, 1].max()), h - 1)
+    x0s = pts[:, 0].astype(np.float64)
+    y0s = pts[:, 1].astype(np.float64)
+    x1s = np.roll(x0s, -1)
+    y1s = np.roll(y0s, -1)
+    for y in range(ymin, ymax + 1):
+        # even-odd rule at scanline center y
+        cond = ((y0s <= y) & (y1s > y)) | ((y1s <= y) & (y0s > y))
+        if cond.any():
+            xs = x0s[cond] + (y - y0s[cond]) / (y1s[cond] - y0s[cond]) * (
+                x1s[cond] - x0s[cond]
+            )
+            xs = np.sort(xs)
+            for i in range(0, len(xs) - 1, 2):
+                a = int(np.ceil(xs[i]))
+                b = int(np.floor(xs[i + 1]))
+                if b >= a:
+                    img[y, max(a, 0) : min(b, w - 1) + 1] = value
+    # boundary pixels
+    for i in range(len(pts)):
+        _draw_line_(img, pts[i], pts[(i + 1) % len(pts)], value)
+
+
+def _draw_line_(img: np.ndarray, p0, p1, value: int) -> None:
+    """Bresenham segment (8-connected), like cv2.line thickness 1."""
+    x0, y0 = int(p0[0]), int(p0[1])
+    x1, y1 = int(p1[0]), int(p1[1])
+    dx, dy = abs(x1 - x0), abs(y1 - y0)
+    sx = 1 if x0 < x1 else -1
+    sy = 1 if y0 < y1 else -1
+    err = dx - dy
+    h, w = img.shape[:2]
+    while True:
+        if 0 <= y0 < h and 0 <= x0 < w:
+            img[y0, x0] = value
+        if x0 == x1 and y0 == y1:
+            break
+        e2 = 2 * err
+        if e2 > -dy:
+            err -= dy
+            x0 += sx
+        if e2 < dx:
+            err += dx
+            y0 += sy

@@ -1,0 +1,105 @@
+"""Data pipeline: pairing, decoding, augmentation (on-device + offline)."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from building_detection_tpu.core.config import AugmentConfig
+from building_detection_tpu.data.augment import DatasetBuilder, augment_batch
+from building_detection_tpu.data.dataset import batch_iterator, decode_pair, list_pairs
+from building_detection_tpu.utils import io as uio
+
+
+def write_dataset(tmp_path, n=5, hw=64):
+    img_dir = tmp_path / "images"
+    lab_dir = tmp_path / "labels"
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        img = rng.randint(0, 256, (hw, hw, 3), np.uint8)
+        lab = np.where(rng.rand(hw, hw) < 0.3, 255, 0).astype(np.uint8)
+        uio.imwrite(str(img_dir / f"{i:03d}.png"), img)
+        uio.imwrite(str(lab_dir / f"{i:03d}.png"), lab)
+    return str(img_dir), str(lab_dir)
+
+
+class TestDataset:
+    def test_pairs_and_iterator(self, tmp_path):
+        img_dir, lab_dir = write_dataset(tmp_path)
+        pairs = list_pairs(img_dir, lab_dir)
+        assert len(pairs) == 5
+        it = batch_iterator(pairs, batch_size=2, image_size=32)
+        imgs, labs = next(it)
+        assert imgs.shape == (2, 32, 32, 3) and imgs.dtype == np.uint8
+        assert labs.shape == (2, 32, 32) and labs.dtype == np.uint8
+        # cycles: 3 batches of 2 wraps past 5 samples without error
+        next(it), next(it)
+
+    def test_count_mismatch_raises(self, tmp_path):
+        img_dir, lab_dir = write_dataset(tmp_path)
+        os.remove(os.path.join(lab_dir, "000.png"))
+        with pytest.raises(ValueError, match="mismatch"):
+            list_pairs(img_dir, lab_dir)
+
+    def test_decode_is_uint8_resized(self, tmp_path):
+        img_dir, lab_dir = write_dataset(tmp_path, hw=40)
+        pairs = list_pairs(img_dir, lab_dir)
+        img, lab = decode_pair(*pairs[0], image_size=64)
+        assert img.shape == (64, 64, 3) and lab.shape == (64, 64)
+
+
+class TestAugmentBatch:
+    def test_shapes_dtypes_and_determinism(self):
+        rng = np.random.RandomState(1)
+        imgs = rng.randint(0, 256, (4, 64, 64, 3), np.uint8)
+        labs = np.where(rng.rand(4, 64, 64) < 0.4, 255, 0).astype(np.uint8)
+        a1 = augment_batch(imgs, labs, jax.random.key(0))
+        a2 = augment_batch(imgs, labs, jax.random.key(0))
+        np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+        assert a1[0].shape == imgs.shape and a1[1].shape == labs.shape
+        assert np.asarray(a1[0]).dtype == np.uint8
+        # labels stay binary {0,255}
+        assert set(np.unique(np.asarray(a1[1]))) <= {0, 255}
+
+    def test_flip_only_config(self):
+        """p_flip_ud=1, everything else 0 -> pure up-down flip."""
+        cfg = AugmentConfig(p_flip_ud=1.0, p_flip_lr=0.0, p_scale=0.0, p_color=0.0)
+        rng = np.random.RandomState(2)
+        imgs = rng.randint(0, 256, (2, 16, 16, 3), np.uint8)
+        labs = np.where(rng.rand(2, 16, 16) < 0.4, 255, 0).astype(np.uint8)
+        out_i, out_l = augment_batch(imgs, labs, jax.random.key(1), cfg)
+        np.testing.assert_array_equal(np.asarray(out_i), imgs[:, ::-1])
+        np.testing.assert_array_equal(np.asarray(out_l), labs[:, ::-1])
+
+    def test_channel_swap_only(self):
+        cfg = AugmentConfig(p_flip_ud=0.0, p_flip_lr=0.0, p_scale=0.0, p_color=1.0)
+        imgs = np.random.RandomState(3).randint(0, 256, (2, 8, 8, 3), np.uint8)
+        labs = np.zeros((2, 8, 8), np.uint8)
+        out_i, out_l = augment_batch(imgs, labs, jax.random.key(2), cfg)
+        np.testing.assert_array_equal(np.asarray(out_i), imgs[..., ::-1])
+        np.testing.assert_array_equal(np.asarray(out_l), labs)
+
+
+class TestDatasetBuilder:
+    def test_run_and_split(self, tmp_path):
+        img_dir, lab_dir = write_dataset(tmp_path, n=10)
+        out_i, out_l = str(tmp_path / "aug_img"), str(tmp_path / "aug_lab")
+        builder = DatasetBuilder(img_dir, lab_dir, out_i, out_l, seed=0)
+        n = builder.run()
+        assert n == len(os.listdir(out_i)) == len(os.listdir(out_l))
+        assert n >= 10  # originals always written
+
+        tr, va = builder.split_train_val(
+            str(tmp_path / "s/train/images"),
+            str(tmp_path / "s/train/labels"),
+            str(tmp_path / "s/val/images"),
+            str(tmp_path / "s/val/labels"),
+        )
+        assert tr + va == n
+        assert tr == int(n * 0.9)
+        assert len(os.listdir(tmp_path / "s/train/images")) == tr
+        assert len(os.listdir(tmp_path / "s/val/images")) == va
+
+    def test_missing_dir_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            DatasetBuilder("/nonexistent", "/nonexistent", str(tmp_path), str(tmp_path))

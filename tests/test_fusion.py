@@ -1,0 +1,80 @@
+"""Fusion + edge pipelines vs the literal cv2 re-enactment of the reference
+(tests/reference_oracle.py)."""
+import cv2 as cv
+import numpy as np
+import pytest
+
+import reference_oracle as oracle
+from building_detection_tpu.post import edges as E
+from building_detection_tpu.post import fusion as F
+
+
+def building_mask(seed, shape=(128, 128), n=5, holes=True):
+    """Masks resembling tiled-inference outputs: rectangles + blobs + noise."""
+    rng = np.random.RandomState(seed)
+    m = np.zeros(shape, np.uint8)
+    for _ in range(n):
+        x, y = rng.randint(0, shape[1] - 30), rng.randint(0, shape[0] - 30)
+        w, h = rng.randint(8, 45), rng.randint(8, 45)
+        cv.rectangle(m, (x, y), (min(x + w, shape[1] - 1), min(y + h, shape[0] - 1)), 255, -1)
+    for _ in range(3):
+        cx, cy = rng.randint(10, shape[1] - 10), rng.randint(10, shape[0] - 10)
+        cv.ellipse(m, (cx, cy), (rng.randint(4, 16), rng.randint(4, 16)), rng.randint(0, 180), 0, 360, 255, -1)
+    if holes:
+        for _ in range(3):
+            cx, cy = rng.randint(10, shape[1] - 10), rng.randint(10, shape[0] - 10)
+            cv.circle(m, (cx, cy), rng.randint(2, 6), 0, -1)
+    # speckle noise (small fragments to be cleaned)
+    for _ in range(10):
+        x, y = rng.randint(0, shape[1] - 3), rng.randint(0, shape[0] - 3)
+        m[y : y + 2, x : x + 2] = 255
+    return m
+
+
+class TestProcessMask:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_matches_reference(self, seed):
+        m = building_mask(seed)
+        ours = F.process_mask(m)
+        theirs = oracle.process_one_mask(m)
+        np.testing.assert_array_equal(ours, theirs)
+
+    def test_blank_mask(self):
+        m = np.zeros((64, 64), np.uint8)
+        np.testing.assert_array_equal(F.process_mask(m), m)
+
+
+class TestFuseMasks:
+    @pytest.mark.parametrize("base_seed", [0, 100, 200])
+    def test_matches_reference(self, base_seed):
+        masks = [building_mask(base_seed + i) for i in range(5)]
+        ours = F.fuse_masks(masks)
+        theirs = oracle.model_confuse(masks)
+        np.testing.assert_array_equal(ours, theirs)
+
+    def test_wrong_count_raises(self):
+        with pytest.raises(ValueError, match="expected 5"):
+            F.fuse_masks([np.zeros((8, 8), np.uint8)] * 4)
+
+
+class TestExtractPolygons:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_matches_reference(self, seed):
+        m = oracle.model_confuse([building_mask(seed + 10 * i) for i in range(5)])
+        ours, h_ours = E.extract_polygons(m)
+        theirs, h_theirs = oracle.detection_points(m)
+        assert h_ours == h_theirs
+        assert len(ours) == len(theirs), (
+            f"{len(ours)} polygons vs reference {len(theirs)}"
+        )
+        ours_set = {
+            tuple((float(x), float(y)) for x, y in zip(p[0], p[1])) for p in ours
+        }
+        theirs_set = {
+            tuple((float(x), float(y)) for x, y in zip(p[0], p[1])) for p in theirs
+        }
+        assert ours_set == theirs_set
+
+    def test_blank(self):
+        corners, h = E.extract_polygons(np.zeros((64, 64), np.uint8))
+        assert corners == [] and h == 64

@@ -1,0 +1,206 @@
+"""Host geometry vs the OpenCV oracle.
+
+cv2 is used here ONLY as a test oracle; the framework's post-processing
+(`building_detection_tpu.post`) never imports it.
+"""
+import cv2 as cv
+import numpy as np
+import pytest
+
+from building_detection_tpu.post import geometry as G
+
+
+def blob_mask(seed, shape=(96, 96), n_blobs=6):
+    rng = np.random.RandomState(seed)
+    m = np.zeros(shape, np.uint8)
+    for _ in range(n_blobs):
+        cx, cy = rng.randint(8, shape[1] - 8), rng.randint(8, shape[0] - 8)
+        w, h = rng.randint(3, 25), rng.randint(3, 25)
+        ang = rng.randint(0, 180)
+        cv.ellipse(m, (cx, cy), (w, h), ang, 0, 360, 255, -1)
+    # carve some holes
+    for _ in range(3):
+        cx, cy = rng.randint(8, shape[1] - 8), rng.randint(8, shape[0] - 8)
+        cv.circle(m, (cx, cy), rng.randint(2, 5), 0, -1)
+    return m
+
+
+def cv2_contours(mask):
+    res = cv.findContours(mask.copy(), cv.RETR_EXTERNAL, cv.CHAIN_APPROX_NONE)
+    return res[0] if len(res) == 2 else res[1]
+
+
+def as_cyclic_tuple(c):
+    pts = [tuple(p) for p in np.asarray(c).reshape(-1, 2)]
+    # canonical rotation: start at lexicographically smallest point
+    k = pts.index(min(pts))
+    return tuple(pts[k:] + pts[:k])
+
+
+class TestFindContours:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_matches_cv2_point_sequences(self, seed):
+        m = blob_mask(seed)
+        ours = G.find_contours(m)
+        theirs = cv2_contours(m)
+        assert len(ours) == len(theirs)
+        ours_set = {as_cyclic_tuple(c) for c in ours}
+        theirs_set = {as_cyclic_tuple(c) for c in theirs}
+        assert ours_set == theirs_set
+
+    def test_nested_component_excluded(self):
+        m = np.zeros((40, 40), np.uint8)
+        cv.rectangle(m, (5, 5), (34, 34), 255, -1)
+        cv.rectangle(m, (12, 12), (27, 27), 0, -1)  # hole
+        cv.rectangle(m, (17, 17), (22, 22), 255, -1)  # island inside hole
+        ours = G.find_contours(m)
+        theirs = cv2_contours(m)
+        assert len(ours) == len(theirs) == 1  # RETR_EXTERNAL drops the island
+
+    def test_single_pixel(self):
+        m = np.zeros((10, 10), np.uint8)
+        m[4, 7] = 255
+        (c,) = G.find_contours(m)
+        np.testing.assert_array_equal(c, [[7, 4]])
+
+
+class TestAnalytics:
+    @pytest.mark.parametrize("seed", range(6))
+    def test_area_rect_arclength_moments(self, seed):
+        m = blob_mask(seed)
+        for c in cv2_contours(m):
+            ours_c = c.reshape(-1, 2)
+            assert G.contour_area(ours_c) == pytest.approx(cv.contourArea(c), abs=1e-6)
+            assert G.bounding_rect(ours_c) == tuple(cv.boundingRect(c))
+            assert G.arc_length(ours_c) == pytest.approx(
+                cv.arcLength(c, True), rel=1e-9
+            )
+            assert G.moments_m00(ours_c) == pytest.approx(
+                cv.moments(c)["m00"], abs=1e-6
+            )
+
+
+class TestApproxPolyDP:
+    @pytest.mark.parametrize("seed", range(6))
+    @pytest.mark.parametrize("rate", [0.01, 0.005, 0.002, 0.05])
+    def test_matches_cv2(self, seed, rate):
+        m = blob_mask(seed)
+        for c in cv2_contours(m):
+            if len(c) < 5:
+                continue
+            eps = rate * cv.arcLength(c, True)
+            theirs = cv.approxPolyDP(c, eps, True).reshape(-1, 2)
+            ours = G.approx_poly_dp(c.reshape(-1, 2), eps, True)
+            assert as_cyclic_tuple(ours) == as_cyclic_tuple(theirs), (
+                f"seed={seed} rate={rate}\nours={ours}\ntheirs={theirs}"
+            )
+
+
+class TestMinAreaRect:
+    @pytest.mark.parametrize("seed", range(6))
+    def test_same_rectangle(self, seed):
+        m = blob_mask(seed)
+        for c in cv2_contours(m):
+            if len(c) < 5:
+                continue
+            theirs = cv.minAreaRect(c)
+            ours = G.min_area_rect(c.reshape(-1, 2))
+            assert ours[1][0] * ours[1][1] == pytest.approx(
+                theirs[1][0] * theirs[1][1], rel=1e-6, abs=1e-6
+            )
+            tb = cv.boxPoints(theirs)
+            ob = G.box_points(ours)
+            # same 4 corners regardless of ordering convention
+            d = np.abs(ob[:, None, :] - tb[None, :, :]).sum(-1)
+            assert (d.min(axis=1) < 1e-3).all()
+
+
+class TestRaster:
+    @pytest.mark.parametrize("seed", range(6))
+    def test_fill_holes_matches_fillpoly_trick(self, seed):
+        m = blob_mask(seed)
+        cs = cv2_contours(m)
+        expected = m.copy()
+        for i in range(len(cs)):
+            cv.fillPoly(expected, [cs[i]], 255)
+        got = np.where(
+            np.logical_or.reduce([f for f in G.components_filled(m)] or [m > 0]),
+            255,
+            0,
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(got, expected)
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_components_match_drawcontours(self, seed):
+        m = blob_mask(seed)
+        cs = cv2_contours(m)
+        expected_total = np.zeros_like(m)
+        for i in range(len(cs)):
+            cv.drawContours(expected_total, cs, i, 255, cv.FILLED)
+        comps = G.components_filled(m)
+        got = np.zeros_like(m)
+        for f in comps:
+            got |= f * 255
+        np.testing.assert_array_equal(got, expected_total)
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_draw_contours_filled_on_traced(self, seed):
+        """Rasterising our traced contours == cv2.drawContours FILLED."""
+        m = blob_mask(seed)
+        cs = cv2_contours(m)
+        expected = np.zeros_like(m)
+        for i in range(len(cs)):
+            cv.drawContours(expected, cs, i, 255, cv.FILLED)
+        got = G.draw_contours_filled(m.shape, [c.reshape(-1, 2) for c in cs])
+        np.testing.assert_array_equal(got, expected)
+
+    def test_erode_dilate_np_match_cv2(self):
+        m = blob_mask(9)
+        np.testing.assert_array_equal(
+            G.erode_np(m, (1, 5), 5),
+            cv.erode(m, np.ones((1, 5), np.uint8), iterations=5),
+        )
+        np.testing.assert_array_equal(
+            G.dilate_np(m, (5, 1), 5),
+            cv.dilate(m, np.ones((5, 1), np.uint8), iterations=5),
+        )
+
+
+class TestNativeFastPath:
+    """C++ (native/src/geometry.cc) vs the NumPy fallback, bit-for-bit."""
+
+    def setup_method(self):
+        if G._nat is None:
+            pytest.skip("native library unavailable")
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_find_contours_identical(self, seed):
+        m = blob_mask(seed)
+        native = G._nat.find_contours((m != 0).astype(np.uint8))
+        fallback = G._find_contours_py((m != 0).astype(np.uint8))
+        assert len(native) == len(fallback)
+        for a, b in zip(native, fallback):
+            np.testing.assert_array_equal(a, b)
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_fill_holes_identical(self, seed):
+        m = (blob_mask(seed) != 0).astype(np.uint8)
+        from scipy import ndimage
+
+        np.testing.assert_array_equal(
+            G._nat.fill_holes(m), ndimage.binary_fill_holes(m).astype(np.uint8)
+        )
+
+    def test_speedup_on_big_mask(self):
+        """The C++ path should beat pure-Python tracing comfortably."""
+        import time
+
+        m = blob_mask(0, shape=(1024, 1024), n_blobs=60)
+        mb = (m != 0).astype(np.uint8)
+        t0 = time.perf_counter()
+        G._nat.find_contours(mb)
+        t_native = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        G._find_contours_py(mb)
+        t_py = time.perf_counter() - t0
+        assert t_native < t_py, (t_native, t_py)

@@ -1,0 +1,133 @@
+"""Serving: JSON contract of POST /photo (`buildAPI.py:82-149`) over real HTTP."""
+import base64
+import json
+import threading
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from building_detection_tpu.core.config import Config
+from building_detection_tpu.serve import client as bdt_client
+from building_detection_tpu.serve.server import (
+    DetectionService,
+    make_handler,
+    parse_multipart,
+)
+from building_detection_tpu.utils import io as uio
+
+
+class StubPipeline:
+    """Stands in for the 5-model ensemble: thresholds the red channel."""
+
+    def predict_image(self, image_rgb):
+        from building_detection_tpu.infer.pipeline import PredictResult
+
+        fused = np.where(image_rgb[..., 0] > 128, 255, 0).astype(np.uint8)
+        corners = [[[1, 5, 5, 1, 1], [1, 1, 5, 5, 1]]]
+        return PredictResult({}, fused, corners, image_rgb.shape[0])
+
+
+@pytest.fixture()
+def server(tmp_path):
+    service = DetectionService(StubPipeline(), Config(), root_dir=str(tmp_path))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield httpd, tmp_path
+    httpd.shutdown()
+
+
+def make_image(tmp_path, name="up.png"):
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[8:24, 8:24, 0] = 255
+    path = str(tmp_path / name)
+    uio.imwrite(path, img)
+    return path
+
+
+class TestMultipart:
+    def test_roundtrip(self):
+        body, ctype = bdt_client.encode_multipart("file", "a.png", b"\x89PNG123")
+        fields = parse_multipart(body, ctype)
+        assert fields["file"] == ("a.png", b"\x89PNG123")
+
+
+class TestPhotoEndpoint:
+    def test_success_contract(self, server):
+        httpd, tmp_path = server
+        port = httpd.server_address[1]
+        path = make_image(tmp_path)
+        data = bdt_client.detect(
+            path,
+            url=f"http://127.0.0.1:{port}/photo",
+            client_id="10_0_0_1",
+            save_result_to=str(tmp_path / "result_back.png"),
+        )
+        # exact key set + formats (buildAPI.py:122-147)
+        assert set(data) == {"status", "data", "points", "error"}
+        assert data["status"] == "success"
+        assert data["error"] == "None"
+        assert data["points"] == {"0": "1,1 5,1 5,5 1,5 1,1 "}
+        decoded = base64.b64decode(data["data"])
+        assert decoded[:4] == b"\x89PNG"
+        # result image round-trips through base64
+        back = uio.imread_gray(str(tmp_path / "result_back.png"))
+        assert back.shape == (32, 32)
+        assert set(np.unique(back)) <= {0, 255}
+        # per-client result dir, upload saved (buildAPI.py:86-109)
+        assert (tmp_path / "all_result" / "10_0_0_1" / "result.png").exists()
+        assert (tmp_path / "receive_file" / "up.png").exists()
+
+    def test_missing_file_is_ng(self, server):
+        import urllib.request
+
+        httpd, _ = server
+        port = httpd.server_address[1]
+        body, ctype = bdt_client.encode_multipart("other", "x.png", b"123")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/photo",
+            data=body,
+            headers={"Content-Type": ctype, "clientID": "c"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            data = json.loads(resp.read())
+        assert data["status"] == "NG"
+        assert data["points"] == {} and data["data"] is None
+
+    def test_corrupt_image_is_ng(self, server, tmp_path):
+        import urllib.request
+
+        httpd, _ = server
+        port = httpd.server_address[1]
+        body, ctype = bdt_client.encode_multipart("file", "bad.png", b"not an image")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/photo",
+            data=body,
+            headers={"Content-Type": ctype, "clientID": "c"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            data = json.loads(resp.read())
+        assert data["status"] == "NG"
+
+    def test_unknown_path_404(self, server):
+        import urllib.error
+        import urllib.request
+
+        httpd, _ = server
+        port = httpd.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/other", data=b"", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 404
+
+
+class TestPointsFormat:
+    def test_points_dict_format(self):
+        corners = [[[1, 2, 1], [3, 4, 3]], [[9, 9], [8, 8]]]
+        d = uio.points_dict(corners)
+        assert d == {"0": "1,3 2,4 1,3 ", "1": "9,8 9,8 "}

@@ -1,0 +1,193 @@
+"""Training stack: losses/metrics/schedule vs the TF reference formulas,
+plus a real (tiny) training loop with checkpoint/resume."""
+import glob
+import os
+
+import cv2 as cv
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from building_detection_tpu.core.config import TrainConfig
+from building_detection_tpu.nn import layers as L
+from building_detection_tpu.train import losses as losses_mod
+from building_detection_tpu.train import metrics as metrics_mod
+from building_detection_tpu.train.schedule import exponential_decay, warmup_cosine
+from building_detection_tpu.train.trainer import Trainer, make_targets
+
+EPS = 1e-7
+
+
+def random_batch(seed, n=2, hw=32):
+    rng = np.random.RandomState(seed)
+    y_pred = rng.dirichlet([1, 1], size=(n, hw, hw)).astype(np.float32)
+    lab = (rng.rand(n, hw, hw) < 0.4).astype(np.float32)
+    one_hot = np.stack([1 - lab, lab], -1).astype(np.float32)
+    edge = rng.choice([1.0, 2.0], size=(n, hw, hw, 2)).astype(np.float32)
+    y_true = np.concatenate([one_hot, edge], -1)
+    return y_true, y_pred
+
+
+class TestLosses:
+    def test_binary_crossentropy(self):
+        y_true, y_pred = random_batch(0)
+        expected = -np.mean(
+            np.sum(y_true[..., :2] * np.log(y_pred + EPS), axis=-1)
+        )
+        got = float(losses_mod.binary_crossentropy(jnp.asarray(y_true), jnp.asarray(y_pred)))
+        assert got == pytest.approx(expected, rel=1e-6)
+
+    def test_focal_loss(self):
+        y_true, y_pred = random_batch(1)
+        loss = [0.5, 0.5] * y_true[..., :2] * (1 - y_pred) ** 2 * np.log(y_pred + EPS)
+        expected = -np.mean(loss.sum(-1))
+        got = float(losses_mod.focal_loss(jnp.asarray(y_true), jnp.asarray(y_pred)))
+        assert got == pytest.approx(expected, rel=1e-6)
+
+    def test_edge_focal_loss(self):
+        """Literal transcription of res34.py:344-356."""
+        y_true, y_pred = random_batch(2)
+        y = y_true[..., :2]
+        w = y_true[..., 2:]
+        loss = [0.35, 0.65] * w * y * (1 - y_pred) * (1 - y_pred) * np.log(y_pred + EPS)
+        expected = -np.mean(loss.sum(-1))
+        got = float(losses_mod.edge_focal_loss(jnp.asarray(y_true), jnp.asarray(y_pred)))
+        assert got == pytest.approx(expected, rel=1e-6)
+
+    def test_logits_variant_close(self):
+        y_true, _ = random_batch(3)
+        logits = np.random.RandomState(3).randn(*y_true[..., :2].shape).astype(np.float32)
+        probs = jax.nn.softmax(jnp.asarray(logits), -1)
+        a = float(losses_mod.edge_focal_loss(jnp.asarray(y_true), probs))
+        b = float(
+            losses_mod.edge_focal_loss_from_logits(jnp.asarray(y_true), jnp.asarray(logits))
+        )
+        assert a == pytest.approx(b, rel=1e-4)
+
+
+class TestMetrics:
+    def test_against_numpy_confusion(self):
+        y_true, y_pred = random_batch(4)
+        yt = y_true[..., :2].argmax(-1)
+        yp = y_pred.argmax(-1)
+        tp = float(((yt == 1) & (yp == 1)).sum())
+        tn = float(((yt == 0) & (yp == 0)).sum())
+        fp = float(((yt == 0) & (yp == 1)).sum())
+        fn = float(((yt == 1) & (yp == 0)).sum())
+        m = metrics_mod.all_metrics(jnp.asarray(y_true), jnp.asarray(y_pred))
+        assert float(m["PA"]) == pytest.approx((tp + tn) / (tp + tn + fp + fn + EPS))
+        assert float(m["IoU"]) == pytest.approx(tp / (tp + fp + fn + EPS))
+        iou1 = tn / (tn + fp + fn + EPS)
+        assert float(m["MIoU"]) == pytest.approx(
+            (tp / (tp + fp + fn + EPS) + iou1) / 2
+        )
+        prec, rec = tp / (tp + fp + EPS), tp / (tp + fn + EPS)
+        assert float(m["F1_score"]) == pytest.approx(
+            2 * prec * rec / (prec + rec + EPS)
+        )
+
+
+class TestSchedule:
+    def test_warmup_cosine_matches_reference_formula(self):
+        """res34.py:512-531, including the >= warmup boundary."""
+        base, total, wlr, wsteps = 1e-3, 300, 1e-5, 30
+        sched = warmup_cosine(base, total, wlr, wsteps)
+        for step in [0, 1, 15, 29, 30, 31, 150, 299, 300]:
+            if step >= wsteps:
+                expected = 0.5 * base * (
+                    1 + np.cos(np.pi * (step - wsteps) / float(total - wsteps))
+                )
+            else:
+                k = (base - wlr) / wsteps
+                expected = k * step + wlr
+            expected = max(expected, 0)
+            # schedule computes in f32 on device; 1e-9 absolute slack covers
+            # rounding near the cosine zero
+            assert float(sched(step)) == pytest.approx(expected, rel=1e-5, abs=1e-9), step
+
+    def test_exponential(self):
+        sched = exponential_decay(1e-3, 0.9)
+        assert float(sched(0)) == pytest.approx(1e-3)
+        assert float(sched(5)) == pytest.approx(1e-3 * 0.9**5, rel=1e-6)
+
+
+class TestTargets:
+    def test_matches_reference_recipe(self):
+        """On-device y_true == the cv2 feeder recipe (res34.py:71-104)."""
+        rng = np.random.RandomState(5)
+        lab_u8 = np.where(rng.rand(2, 64, 64) < 0.4, 255, 0).astype(np.uint8)
+        lab_u8 = np.stack(
+            [cv.dilate(l, np.ones((3, 3), np.uint8)) for l in lab_u8]
+        )
+        got = np.asarray(make_targets(jnp.asarray(lab_u8), TrainConfig()))
+        for i in range(2):
+            label = lab_u8[i].astype(np.float32) / 255
+            one_hot = np.stack([1 - (label == 1), (label == 1)], -1).astype(np.float32)
+            kernel = np.ones((3, 3), np.uint8)
+            erode = cv.erode(label, kernel, iterations=5)
+            p_edge = np.where((label - erode) == 1, 2.0, 1.0)
+            dilate = cv.dilate(label, kernel, iterations=5)
+            f_edge = np.where((dilate - label) == 1, 2.0, 1.0)
+            expected = np.concatenate(
+                [one_hot, f_edge[..., None], p_edge[..., None]], -1
+            )
+            np.testing.assert_array_equal(got[i], expected)
+
+
+def tiny_model(s, x):
+    x = L.conv2d(s, x, 8, 3, activation="relu")
+    x = L.batch_norm(s, x)
+    return L.conv2d(s, x, 2, 1, activation="softmax")
+
+
+class TestTrainer:
+    def make_data(self, n=8, hw=32, seed=0):
+        rng = np.random.RandomState(seed)
+        imgs = rng.randint(0, 256, (n, hw, hw, 3), np.uint8)
+        labs = np.where(rng.rand(n, hw, hw) < 0.3, 255, 0).astype(np.uint8)
+        return imgs, labs
+
+    def make_trainer(self, tmp=None, hw=32):
+        cfg = TrainConfig(batch_size=8, epochs=2, warmup_epochs=1, image_size=hw)
+        return Trainer(tiny_model, cfg, steps_per_epoch=3)
+
+    def test_loss_decreases_and_checkpoints(self, tmp_path):
+        tr = self.make_trainer(hw=32)
+        imgs, labs = self.make_data()
+        first = tr.train_on_batch(imgs, labs)
+        losses = [first["loss"]]
+        for _ in range(10):
+            losses.append(tr.train_on_batch(imgs, labs)["loss"])
+        assert losses[-1] < losses[0], losses
+        assert 0 <= first["PA"] <= 1
+
+        # checkpoint round trip, exact resume
+        path = os.path.join(tmp_path, "ck.npz")
+        tr.save(path)
+        m_ref = tr.train_on_batch(imgs, labs)
+
+        tr2 = self.make_trainer(hw=32)
+        tr2.restore(path)
+        assert tr2.step == tr.step - 1
+        m_new = tr2.train_on_batch(imgs, labs)
+        assert m_new["loss"] == pytest.approx(m_ref["loss"], rel=1e-5)
+
+    def test_fit_loop_saves_per_epoch(self, tmp_path):
+        tr = self.make_trainer(hw=32)
+        imgs, labs = self.make_data()
+
+        def it():
+            while True:
+                yield imgs, labs
+
+        hist = tr.fit(
+            it(), val_iter=it(), val_steps=1, checkpoint_dir=str(tmp_path),
+            log_fn=lambda s: None,
+        )
+        assert len(hist) == 2
+        assert "val_PA" in hist[0] and "lr" in hist[0]
+        assert sorted(os.path.basename(p) for p in glob.glob(str(tmp_path) + "/*.npz")) == [
+            "epoch_1_weights.npz",
+            "epoch_2_weights.npz",
+        ]
