@@ -75,6 +75,9 @@ class TrainConfig:
     edge_iterations: int = 5     # x5 iterations (`res34.py:85,96`)
     image_size: int = 512
     num_classes: int = 2
+    # (pos, neg) label smoothing; the reference sketches this but leaves it
+    # dead (`res34.py:76-79`). None = off (reference behaviour).
+    label_smooth: tuple = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -49,13 +49,24 @@ class TiledPredictor:
         cfg: TilerConfig = TilerConfig(),
         batch_tiles: int = 8,
         compute_dtype=jnp.bfloat16,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis; tile
+        batches shard across it (tile data parallelism over ICI — SURVEY.md
+        section 2.3's configuration 1).  ``batch_tiles`` is per device."""
         self.model_fn = model_fn
         self.params = params
         self.state = state
         self.cfg = cfg
-        self.batch_tiles = batch_tiles
+        self.mesh = mesh
+        n_dev = 1 if mesh is None else mesh.devices.size
+        self.batch_tiles = batch_tiles * n_dev
         self.compute_dtype = compute_dtype
+        if mesh is not None:
+            from building_detection_tpu.parallel import mesh as pmesh
+
+            self.params = pmesh.replicate(params, mesh)
+            self.state = pmesh.replicate(state, mesh)
 
     @functools.lru_cache(maxsize=32)
     def _compiled(self, h: int, w: int, canvas_h: int, canvas_w: int, num_tiles: int):
@@ -82,6 +93,15 @@ class TiledPredictor:
 
             def body(carry, chunk_origins):
                 tiles = T.extract_tiles(canvas, chunk_origins, tile)
+                if self.mesh is not None:
+                    # tile data parallelism: shard the batch over the mesh's
+                    # data axis; XLA gathers the masks back for the scatter
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    tiles = jax.lax.with_sharding_constraint(
+                        tiles,
+                        NamedSharding(self.mesh, P("data", None, None, None)),
+                    )
                 probs, _ = M.apply(
                     self.model_fn,
                     params,

@@ -26,6 +26,7 @@ from building_detection_tpu.post import edges as E
 from building_detection_tpu.post import fusion as F
 from building_detection_tpu.train.checkpoint import load_variables
 from building_detection_tpu.utils import io as uio
+from building_detection_tpu.utils.profiling import StageTimer
 
 
 @dataclasses.dataclass
@@ -75,15 +76,23 @@ class Pipeline:
         self.ensemble = EnsemblePredictor(
             members, cfg.tiler, batch_tiles, compute_dtype
         )
+        self.timer = StageTimer()
 
     def predict_image(self, image_rgb: np.ndarray) -> PredictResult:
-        """RGB array in, polygons out; nothing touches the filesystem."""
-        masks = self.ensemble.predict_masks(image_rgb)
+        """RGB array in, polygons out; nothing touches the filesystem.
+
+        Per-stage wall-clock accumulates in ``self.timer``
+        (``pipe.timer.report()``).
+        """
+        with self.timer.stage("ensemble_forward"):
+            masks = self.ensemble.predict_masks(image_rgb)
         # The reference fuses masks in glob (alphabetical) order
         # (`model_fuse.py:278`); the vote is order-invariant, so any order
         # yields the same fused mask.
-        fused = F.fuse_masks([masks[k] for k in sorted(masks)], self.cfg.fuse)
-        corners, height = E.extract_polygons(fused, self.cfg.edge)
+        with self.timer.stage("fusion"):
+            fused = F.fuse_masks([masks[k] for k in sorted(masks)], self.cfg.fuse)
+        with self.timer.stage("polygons"):
+            corners, height = E.extract_polygons(fused, self.cfg.edge)
         return PredictResult(masks, fused, corners, height)
 
     def predict_file(

@@ -37,16 +37,25 @@ from building_detection_tpu.train.metrics import all_metrics
 from building_detection_tpu.train.schedule import warmup_cosine
 
 
-def make_targets(labels_u8: jax.Array, cfg: TrainConfig) -> jax.Array:
+def make_targets(
+    labels_u8: jax.Array,
+    cfg: TrainConfig,
+    label_smooth: Optional[Tuple[float, float]] = None,
+) -> jax.Array:
     """uint8 {0,255} labels -> (N, H, W, 4) y_true, on device.
 
     Matches `res34.py:71-104`: label/255, one-hot by exact-1.0 test
     (``to_categorical`` truncates), f_edge/p_edge bands from 3x3 x5
-    erode/dilate.
+    erode/dilate.  ``label_smooth=(pos, neg)`` enables the smoothing the
+    reference sketches but leaves dead (its constants are undefined,
+    `res34.py:76-79`): one-hot 1 -> pos, 0 -> neg.
     """
     label = labels_u8.astype(jnp.float32) / 255.0
     is_building = (label == 1.0).astype(jnp.float32)
     one_hot = jnp.stack([1.0 - is_building, is_building], axis=-1)
+    if label_smooth is not None:
+        pos, neg = label_smooth
+        one_hot = jnp.where(one_hot == 1.0, pos, neg)
     f_edge, p_edge = edge_weight_maps(
         label, cfg.edge_kernel, cfg.edge_iterations, cfg.edge_weight
     )
@@ -99,7 +108,7 @@ class Trainer:
 
         def train_step(params, state, opt_state, images_u8, labels_u8):
             x = images_u8.astype(cdtype) / 127.5 - 1.0
-            y_true = make_targets(labels_u8, cfg)
+            y_true = make_targets(labels_u8, cfg, cfg.label_smooth)
 
             def losses(p):
                 probs, new_state = M.apply(
@@ -119,7 +128,7 @@ class Trainer:
 
         def eval_step(params, state, images_u8, labels_u8):
             x = images_u8.astype(cdtype) / 127.5 - 1.0
-            y_true = make_targets(labels_u8, cfg)
+            y_true = make_targets(labels_u8, cfg, cfg.label_smooth)
             probs, _ = M.apply(model_fn, params, state, x, compute_dtype=cdtype)
             probs = probs.astype(jnp.float32)
             metrics = all_metrics(y_true, probs)
@@ -170,9 +179,11 @@ class Trainer:
         val_steps: int = 0,
         checkpoint_dir: Optional[str] = None,
         log_fn: Callable[[str], None] = print,
+        callbacks: Optional[list] = None,
     ) -> list:
         """Epoch loop mirroring ``fit_generator`` (`res34.py:673-678`) with a
-        checkpoint per epoch (`res34.py:603-609`)."""
+        checkpoint per epoch (`res34.py:603-609`).  ``callbacks`` are
+        ``cb(trainer, epoch, metrics) -> stop`` (see train/callbacks.py)."""
         cfg = self.cfg
         for epoch in range(cfg.epochs):
             t0 = time.time()
@@ -200,6 +211,8 @@ class Trainer:
                 self.save(
                     os.path.join(checkpoint_dir, f"epoch_{epoch + 1}_weights.npz")
                 )
+            if callbacks and any(cb(self, epoch, agg) for cb in list(callbacks)):
+                break
         return self.history
 
     # -- checkpointing ------------------------------------------------------
