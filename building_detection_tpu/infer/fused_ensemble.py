@@ -1,0 +1,145 @@
+"""Fused ensemble: all five models in ONE jitted program per scene shape.
+
+The reference runs the ensemble as five sequential per-tile predict loops
+(`/root/reference/predict.py:78-87`).  :class:`~building_detection_tpu.infer.
+engine.EnsemblePredictor` already batches tiles per model; this variant goes
+further and traces the whole ensemble into a single XLA program:
+
+* tiles are gathered and normalised ONCE and shared by all five models;
+* one dispatch per scene instead of five (dispatch through this
+  environment's TPU tunnel is expensive);
+* XLA schedules the five models' ops together, filling pipeline bubbles;
+* the 3-of-5 vote (`model_fuse.py:315-323`) is available on device for the
+  fast path (``predict_vote``), while per-model masks remain available for
+  the parity path's morphological fusion.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from building_detection_tpu.core import module as M
+from building_detection_tpu.core.config import TilerConfig
+from building_detection_tpu.ops import tiling as T
+
+Array = jax.Array
+
+
+class FusedEnsemblePredictor:
+    """Drop-in alternative to EnsemblePredictor with one program per scene."""
+
+    def __init__(
+        self,
+        members: Dict[str, Tuple[Callable, dict, dict]],
+        cfg: TilerConfig = TilerConfig(),
+        batch_tiles: int = 8,
+        compute_dtype=jnp.bfloat16,
+        mesh=None,
+    ):
+        self.names = list(members)
+        self.fns = {n: members[n][0] for n in self.names}
+        self.params = {n: members[n][1] for n in self.names}
+        self.states = {n: members[n][2] for n in self.names}
+        self.cfg = cfg
+        self.mesh = mesh
+        n_dev = 1 if mesh is None else mesh.devices.size
+        self.batch_tiles = batch_tiles * n_dev
+        self.compute_dtype = compute_dtype
+        if mesh is not None:
+            from building_detection_tpu.parallel import mesh as pmesh
+
+            self.params = pmesh.replicate(self.params, mesh)
+            self.states = pmesh.replicate(self.states, mesh)
+
+    @functools.lru_cache(maxsize=32)
+    def _compiled(self, h: int, w: int, canvas_h: int, canvas_w: int, num_tiles: int):
+        cfg = self.cfg
+        tile = cfg.tile
+        batch = min(self.batch_tiles, max(num_tiles, 1))
+        num_chunks = -(-num_tiles // batch)
+        padded = num_chunks * batch
+        n_models = len(self.names)
+
+        def run(params, states, img_u8: Array, origins: Array) -> Array:
+            img = T.normalize(img_u8, cfg, dtype=self.compute_dtype)
+            canvas = jnp.pad(img, ((0, canvas_h - h), (0, canvas_w - w), (0, 0)))
+            if padded != num_tiles:
+                reps = jnp.broadcast_to(origins[-1:], (padded - num_tiles, 2))
+                origins = jnp.concatenate([origins, reps], axis=0)
+            chunks = origins.reshape(num_chunks, batch, 2)
+            mask_canvas = jnp.zeros((n_models, canvas_h, canvas_w), jnp.uint8)
+
+            def body(carry, chunk_origins):
+                tiles = T.extract_tiles(canvas, chunk_origins, tile)
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    tiles = lax.with_sharding_constraint(
+                        tiles,
+                        NamedSharding(self.mesh, P("data", None, None, None)),
+                    )
+                masks = []
+                for name in self.names:
+                    probs, _ = M.apply(
+                        self.fns[name],
+                        params[name],
+                        states[name],
+                        tiles,
+                        compute_dtype=self.compute_dtype,
+                    )
+                    masks.append(
+                        (jnp.argmax(probs, axis=-1) == 1).astype(jnp.uint8)
+                    )
+                stacked = jnp.stack(masks)  # (M, B, tile, tile)
+
+                def put(c, i):
+                    o = chunk_origins[i]
+                    cur = lax.dynamic_slice(
+                        c, (0, o[0], o[1]), (n_models, tile, tile)
+                    )
+                    return (
+                        lax.dynamic_update_slice(
+                            c,
+                            jnp.maximum(cur, stacked[:, i]),
+                            (0, o[0], o[1]),
+                        ),
+                        None,
+                    )
+
+                carry, _ = lax.scan(put, carry, jnp.arange(batch))
+                return carry, None
+
+            mask_canvas, _ = lax.scan(body, mask_canvas, chunks)
+            return mask_canvas * jnp.uint8(255)
+
+        return jax.jit(run)
+
+    def _run(self, image_rgb: np.ndarray):
+        h, w = image_rgb.shape[:2]
+        plan = T.plan_tiles(h, w, self.cfg)
+        if plan.num_tiles == 0:
+            return np.zeros((len(self.names), h, w), np.uint8)
+        fn = self._compiled(h, w, plan.canvas_h, plan.canvas_w, plan.num_tiles)
+        masks = fn(
+            self.params, self.states, jnp.asarray(image_rgb), T.origins_array(plan)
+        )
+        return np.asarray(masks)[:, :h, :w]
+
+    def predict_masks(self, image_rgb: np.ndarray) -> Dict[str, np.ndarray]:
+        stacked = self._run(image_rgb)
+        return {name: stacked[i] for i, name in enumerate(self.names)}
+
+    def predict_vote(
+        self, image_rgb: np.ndarray, threshold: int = 3
+    ) -> np.ndarray:
+        """Fast path: plain 3-of-5 vote without the reference's per-model
+        morphological cleanup (`model_fuse.py:285-313`) — NOT mask-parity
+        with the reference; use the Pipeline for that."""
+        stacked = self._run(image_rgb)
+        votes = (stacked // 255).astype(np.int32).sum(0)
+        return np.where(votes >= threshold, 255, 0).astype(np.uint8)

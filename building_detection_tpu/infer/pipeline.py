@@ -55,7 +55,12 @@ class Pipeline:
         compute_dtype=jnp.bfloat16,
         models: tuple = ENSEMBLE_ORDER,
         seed: int = 0,
+        fused: bool = True,
+        mesh=None,
     ):
+        """``fused=True`` traces the whole ensemble into one XLA program per
+        scene shape (bit-identical to per-model execution, fewer dispatches,
+        shared tile gather); ``mesh`` shards tile batches over its data axis."""
         self.cfg = cfg
         weights = weights or {}
         members = {}
@@ -73,9 +78,18 @@ class Pipeline:
                     name, jax.random.key(seed + i), (1, cfg.tiler.tile, cfg.tiler.tile, 3)
                 )
             members[name] = (fn, params, state)
-        self.ensemble = EnsemblePredictor(
-            members, cfg.tiler, batch_tiles, compute_dtype
-        )
+        if fused:
+            from building_detection_tpu.infer.fused_ensemble import (
+                FusedEnsemblePredictor,
+            )
+
+            self.ensemble = FusedEnsemblePredictor(
+                members, cfg.tiler, batch_tiles, compute_dtype, mesh=mesh
+            )
+        else:
+            self.ensemble = EnsemblePredictor(
+                members, cfg.tiler, batch_tiles, compute_dtype
+            )
         self.timer = StageTimer()
 
     def predict_image(self, image_rgb: np.ndarray) -> PredictResult:

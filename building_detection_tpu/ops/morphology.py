@@ -39,7 +39,8 @@ def _effective_kernel(kernel: Tuple[int, int], iterations: int) -> Tuple[int, in
     return (iterations * (kh - 1) + 1, iterations * (kw - 1) + 1)
 
 
-def _window(x: Array, kh: int, kw: int, op, init) -> Array:
+def _window_reduce(x: Array, kh: int, kw: int, op, init) -> Array:
+    """Plain reduce_window implementation (O(kh*kw) per pixel)."""
     dims = (1,) * (x.ndim - 2) + (kh, kw)
     pads = [(0, 0)] * (x.ndim - 2) + [
         ((kh - 1) // 2, kh - 1 - (kh - 1) // 2),
@@ -53,6 +54,60 @@ def _window(x: Array, kh: int, kw: int, op, init) -> Array:
         window_strides=(1,) * x.ndim,
         padding=pads,
     )
+
+
+def _axis_filter_log(x: Array, w: int, axis: int, op, init) -> Array:
+    """Centered sliding min/max of width ``w`` along ``axis`` in O(log w) ops.
+
+    Min/max are idempotent, so a window of width w is the op of two
+    power-of-two windows that overlap: with P = 2^floor(log2 w),
+    ``win_w(x)[i] = op(win_P(x)[i], win_P(x)[i + w - P])`` where win_P is
+    built by doubling (``m <- op(m, shift(m, 2^k))``).  For the reference's
+    21-wide fused erosion this is 5 elementwise ops instead of a 21-tap
+    reduce_window; the 11x11 edge-weight kernels become 8 ops instead of 121.
+    """
+    if w == 1:
+        return x
+    r = (w - 1) // 2
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (r, w - 1 - r)
+    xp = jnp.pad(x, pad, constant_values=init)
+
+    p = 1
+    m = xp
+    while p * 2 <= w:
+        shifted = jnp.roll(m, -p, axis=axis)
+        # roll wraps values around; mask the wrapped tail with the identity
+        idx = jnp.arange(m.shape[axis])
+        valid = idx < (m.shape[axis] - p)
+        shape = [1] * m.ndim
+        shape[axis] = m.shape[axis]
+        shifted = jnp.where(
+            valid.reshape(shape), shifted, jnp.asarray(init, m.dtype)
+        )
+        m = op(m, shifted)
+        p *= 2
+    # combine two P-windows covering [0, w): win_w(i) = op(m(i), m(i + w - P))
+    n = x.shape[axis]
+    first = lax.slice_in_dim(m, 0, n, axis=axis)
+    second = lax.slice_in_dim(m, w - p, w - p + n, axis=axis)
+    return op(first, second)
+
+
+def _window(x: Array, kh: int, kw: int, op, init) -> Array:
+    """Separable log-decomposed min/max filter (exact; see _axis_filter_log).
+
+    Falls back to reduce_window for tiny kernels where it's cheaper.
+    """
+    if kh * kw <= 9:
+        return _window_reduce(x, kh, kw, op, init)
+    jop = jnp.minimum if op is lax.min else jnp.maximum
+    y = x
+    if kh > 1:
+        y = _axis_filter_log(y, kh, y.ndim - 2, jop, init)
+    if kw > 1:
+        y = _axis_filter_log(y, kw, y.ndim - 1, jop, init)
+    return y
 
 
 def erode(x: Array, kernel: Union[int, Tuple[int, int]], iterations: int = 1) -> Array:
@@ -85,7 +140,11 @@ def dilate(x: Array, kernel: Union[int, Tuple[int, int]], iterations: int = 1) -
 
 
 def edge_weight_maps(
-    label: Array, kernel: int = 3, iterations: int = 5, weight: float = 2.0
+    label: Array,
+    kernel: int = 3,
+    iterations: int = 5,
+    weight: float = 2.0,
+    impl: str = "xla",
 ) -> Tuple[Array, Array]:
     """Edge-band weights for ``edge_focal_loss``.
 
@@ -94,7 +153,18 @@ def edge_weight_maps(
     (label - erode == 1) and outer band (dilate - label == 1) get weight 2.0,
     everything else 1.0.  Returns ``(f_edge, p_edge)`` in the concat order the
     reference uses (`res34.py:104`).
+
+    ``impl='pallas'`` uses the fused VMEM kernel
+    (:mod:`building_detection_tpu.kernels.pallas_morphology`); bit-identical,
+    measured within ~8% of the XLA path on v5e — kept selectable for future
+    tuning.  Requires a batched (N, H, W) label.
     """
+    if impl == "pallas" and label.ndim == 3:
+        from building_detection_tpu.kernels.pallas_morphology import (
+            edge_weight_maps_pallas,
+        )
+
+        return edge_weight_maps_pallas(label, kernel, iterations, weight)
     label = label.astype(jnp.float32)
     eroded = erode(label, kernel, iterations)
     p_edge = jnp.where(label - eroded == 1.0, weight, 1.0)
