@@ -72,7 +72,10 @@ class FusedEnsemblePredictor:
                 reps = jnp.broadcast_to(origins[-1:], (padded - num_tiles, 2))
                 origins = jnp.concatenate([origins, reps], axis=0)
             chunks = origins.reshape(num_chunks, batch, 2)
-            mask_canvas = jnp.zeros((n_models, canvas_h, canvas_w), jnp.uint8)
+            # the 5 per-model bits are PACKED into one uint8 plane: 5x less
+            # device->host traffic (the tunnel in this environment moves
+            # ~20 MB/s, so mask download would otherwise dominate)
+            mask_canvas = jnp.zeros((canvas_h, canvas_w), jnp.uint8)
 
             def body(carry, chunk_origins):
                 tiles = T.extract_tiles(canvas, chunk_origins, tile)
@@ -83,8 +86,8 @@ class FusedEnsemblePredictor:
                         tiles,
                         NamedSharding(self.mesh, P("data", None, None, None)),
                     )
-                masks = []
-                for name in self.names:
+                packed = jnp.zeros(tiles.shape[:3], jnp.uint8)
+                for bit, name in enumerate(self.names):
                     probs, _ = M.apply(
                         self.fns[name],
                         params[name],
@@ -92,21 +95,17 @@ class FusedEnsemblePredictor:
                         tiles,
                         compute_dtype=self.compute_dtype,
                     )
-                    masks.append(
-                        (jnp.argmax(probs, axis=-1) == 1).astype(jnp.uint8)
-                    )
-                stacked = jnp.stack(masks)  # (M, B, tile, tile)
+                    m = (jnp.argmax(probs, axis=-1) == 1).astype(jnp.uint8)
+                    packed = packed | (m << bit)
 
                 def put(c, i):
                     o = chunk_origins[i]
-                    cur = lax.dynamic_slice(
-                        c, (0, o[0], o[1]), (n_models, tile, tile)
-                    )
+                    cur = lax.dynamic_slice(c, (o[0], o[1]), (tile, tile))
+                    # per-bit OR over overlapping tiles == the reference's
+                    # accumulate-then->=1 per model (predict.py:113-114)
                     return (
                         lax.dynamic_update_slice(
-                            c,
-                            jnp.maximum(cur, stacked[:, i]),
-                            (0, o[0], o[1]),
+                            c, cur | packed[i], (o[0], o[1])
                         ),
                         None,
                     )
@@ -115,24 +114,28 @@ class FusedEnsemblePredictor:
                 return carry, None
 
             mask_canvas, _ = lax.scan(body, mask_canvas, chunks)
-            return mask_canvas * jnp.uint8(255)
+            return mask_canvas
 
         return jax.jit(run)
 
-    def _run(self, image_rgb: np.ndarray):
+    def _run_packed(self, image_rgb: np.ndarray) -> np.ndarray:
+        """(H, W) uint8 with one mask bit per ensemble member."""
         h, w = image_rgb.shape[:2]
         plan = T.plan_tiles(h, w, self.cfg)
         if plan.num_tiles == 0:
-            return np.zeros((len(self.names), h, w), np.uint8)
+            return np.zeros((h, w), np.uint8)
         fn = self._compiled(h, w, plan.canvas_h, plan.canvas_w, plan.num_tiles)
-        masks = fn(
+        packed = fn(
             self.params, self.states, jnp.asarray(image_rgb), T.origins_array(plan)
         )
-        return np.asarray(masks)[:, :h, :w]
+        return np.asarray(packed)[:h, :w]
 
     def predict_masks(self, image_rgb: np.ndarray) -> Dict[str, np.ndarray]:
-        stacked = self._run(image_rgb)
-        return {name: stacked[i] for i, name in enumerate(self.names)}
+        packed = self._run_packed(image_rgb)
+        return {
+            name: (((packed >> bit) & 1) * np.uint8(255))
+            for bit, name in enumerate(self.names)
+        }
 
     def predict_vote(
         self, image_rgb: np.ndarray, threshold: int = 3
@@ -140,6 +143,9 @@ class FusedEnsemblePredictor:
         """Fast path: plain 3-of-5 vote without the reference's per-model
         morphological cleanup (`model_fuse.py:285-313`) — NOT mask-parity
         with the reference; use the Pipeline for that."""
-        stacked = self._run(image_rgb)
-        votes = (stacked // 255).astype(np.int32).sum(0)
+        packed = self._run_packed(image_rgb)
+        votes = sum(
+            ((packed >> bit) & 1).astype(np.int32)
+            for bit in range(len(self.names))
+        )
         return np.where(votes >= threshold, 255, 0).astype(np.uint8)
