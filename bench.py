@@ -121,6 +121,30 @@ def measure_scene(names, batch, iters, dtype) -> float:
     return n_tiles * iters / dt
 
 
+def measure_train(model_name: str, batch: int, iters: int) -> float:
+    """Training images/sec for one model (DP over all local devices):
+    the full jitted step incl. on-device edge-weight maps, fwd+bwd, adam."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from building_detection_tpu.core.config import TrainConfig
+    from building_detection_tpu.train.trainer import Trainer
+
+    cfg = TrainConfig(batch_size=batch)
+    trainer = Trainer(
+        model_name, cfg, steps_per_epoch=100, compute_dtype=jnp.bfloat16
+    )
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (batch, 512, 512, 3), np.uint8)
+    labs = np.where(rng.rand(batch, 512, 512) < 0.3, 255, 0).astype(np.uint8)
+    trainer.train_on_batch(imgs, labs)  # compile (train_on_batch fetches)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        trainer.train_on_batch(imgs, labs)  # metrics fetch = real sync
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -137,9 +161,15 @@ def main() -> int:
         baseline = measure_cpu_baseline(names)
         print(f"# measured CPU baseline: {baseline:.4f} tiles/s", file=sys.stderr)
 
+    unit = "tiles/s"
     if mode == "scene":
         tps = measure_scene(names, batch, iters, jnp.bfloat16)
         metric = "ensemble_scene_512_tiles_per_sec_per_chip"
+    elif mode == "train":
+        tps = measure_train(names[0], batch, iters)
+        metric = f"train_{names[0]}_512_images_per_sec"
+        baseline = None
+        unit = "images/s"
     else:
         tps = measure_ensemble(names, batch, iters, jnp.bfloat16)
         metric = "ensemble_512_tiles_per_sec_per_chip"
@@ -148,7 +178,7 @@ def main() -> int:
             {
                 "metric": metric,
                 "value": round(tps, 3),
-                "unit": "tiles/s",
+                "unit": unit,
                 "vs_baseline": round(tps / baseline, 2) if baseline else None,
             }
         )

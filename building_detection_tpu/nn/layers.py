@@ -14,8 +14,9 @@ reference models (`/root/reference/predict_model/*.py`):
 * pooling / nearest upsampling match ``MaxPooling2D`` / ``AveragePooling2D``
   / ``UpSampling2D`` defaults.
 
-Convolutions use ``preferred_element_type=float32`` so bf16 activations still
-accumulate in f32 on the MXU.
+bf16 activations accumulate in f32 inside the MXU (TPU hardware behaviour);
+we deliberately do NOT set ``preferred_element_type`` on convs — a widened
+output dtype breaks the conv transpose rule under autodiff (mixed-dtype dW).
 """
 from __future__ import annotations
 
@@ -81,8 +82,7 @@ def conv2d(
         padding=padding,
         rhs_dilation=_pair(dilation),
         dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if use_bias:
         b = s.param(f"{name}/bias", (features,), zeros_init)
         y = y + b
@@ -120,16 +120,14 @@ def separable_conv2d(
         rhs_dilation=_pair(dilation),
         dimension_numbers=_DIMS,
         feature_group_count=in_ch,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     y = lax.conv_general_dilated(
         y,
         pw,
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if use_bias:
         b = s.param(f"{name}/bias", (features,), zeros_init)
         y = y + b
@@ -165,8 +163,7 @@ def conv2d_transpose(
         padding="SAME",
         dimension_numbers=_DIMS,
         transpose_kernel=True,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if use_bias:
         b = s.param(f"{name}/bias", (features,), zeros_init)
         y = y + b
@@ -185,7 +182,7 @@ def dense(
     name = s.auto_name("dense", name)
     x = x.astype(s.compute_dtype)
     w = s.param(f"{name}/kernel", (x.shape[-1], features), kernel_init)
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    y = jnp.dot(x, w)
     if use_bias:
         b = s.param(f"{name}/bias", (features,), zeros_init)
         y = y + b
