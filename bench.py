@@ -111,12 +111,15 @@ def measure_scene(names, batch, iters, dtype) -> float:
     pred = FusedEnsemblePredictor(
         members, batch_tiles=batch, compute_dtype=dtype
     )
-    scene = np.random.RandomState(0).randint(0, 256, (2048, 2048, 3), np.uint8)
-    pred.predict_masks(scene)  # compile
+    rng = np.random.RandomState(0)
+    scenes = [
+        rng.randint(0, 256, (2048, 2048, 3), np.uint8) for _ in range(iters)
+    ]
+    pred.predict_masks(scenes[0])  # compile
     n_tiles = 36  # ceil((2048-152)/360)^2 = 6x6
     t0 = time.perf_counter()
-    for _ in range(iters):
-        pred.predict_masks(scene)  # np.asarray inside = real sync
+    # pipelined: scene uploads/downloads overlap compute via the FIFO queue
+    pred.predict_masks_many(scenes)
     dt = time.perf_counter() - t0
     return n_tiles * iters / dt
 

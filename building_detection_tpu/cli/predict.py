@@ -76,12 +76,20 @@ def main(argv=None) -> int:
         print("no images found", file=sys.stderr)
         return 2
 
-    for path in images:
+    from building_detection_tpu.utils import io as uio
+
+    # decode everything, run device work pipelined, post-process per scene
+    arrays = [uio.imread_rgb(p) for p in images]
+    results = pipe.predict_images(arrays)
+    for path, result in zip(images, results):
         name = os.path.splitext(os.path.basename(path))[0]
         out_dir = os.path.join(args.out, name)
-        result = pipe.predict_file(
-            path, out_dir, name=name, keep_intermediates=args.keep_intermediates
-        )
+        os.makedirs(out_dir, exist_ok=True)
+        if args.keep_intermediates:
+            for model_name, mask in result.masks.items():
+                uio.imwrite(os.path.join(out_dir, f"{model_name}_{name}.png"), mask)
+        uio.imwrite(os.path.join(out_dir, f"{name}_result.png"), result.fused)
+        uio.write_points(result.corners, os.path.join(out_dir, f"{name}.txt"))
         print(
             json.dumps(
                 {

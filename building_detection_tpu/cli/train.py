@@ -3,7 +3,7 @@ point (`/root/reference/train_model/res34.py` x5, identical harnesses)."""
 from __future__ import annotations
 
 import argparse
-import dataclasses
+import os
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -17,6 +17,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val-labels")
     p.add_argument("--checkpoint-dir", default="weights1")
     p.add_argument("--resume", help="checkpoint to resume from (exact, incl. optimizer)")
+    p.add_argument(
+        "--auto-resume",
+        action="store_true",
+        help="resume from the newest epoch_N_weights.npz in --checkpoint-dir",
+    )
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--warmup-epochs", type=int, default=3)
@@ -64,12 +69,27 @@ def main(argv=None) -> int:
         mesh=make_mesh(data=args.data_parallel),
         compute_dtype=jnp.bfloat16 if args.precision == "bf16" else jnp.float32,
     )
-    if args.resume:
-        trainer.restore(args.resume)
-        print(f"resumed from {args.resume} at step {trainer.step}")
+    resume_path = args.resume
+    if args.auto_resume and not resume_path:
+        import glob
+        import re
 
-    train_iter = batch_iterator(
-        train_pairs, cfg.batch_size, cfg.image_size, augment_rng=args.augment_seed
+        candidates = glob.glob(os.path.join(args.checkpoint_dir, "epoch_*_weights.npz"))
+        if candidates:
+            resume_path = max(
+                candidates,
+                key=lambda p: int(re.search(r"epoch_(\d+)_", p).group(1)),
+            )
+    if resume_path:
+        trainer.restore(resume_path)
+        print(f"resumed from {resume_path} at step {trainer.step}")
+
+    from building_detection_tpu.data.dataset import prefetch
+
+    train_iter = prefetch(
+        batch_iterator(
+            train_pairs, cfg.batch_size, cfg.image_size, augment_rng=args.augment_seed
+        )
     )
     val_iter, val_steps = None, 0
     if args.val_images and args.val_labels:

@@ -88,3 +88,31 @@ def batch_iterator(
             images, labels = aug(images, labels, sub)
             images, labels = np.asarray(images), np.asarray(labels)
         yield images, labels
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Background-thread prefetch so file decoding overlaps the device step.
+
+    The reference's feeder is fully synchronous (one batch decoded between
+    every train step, `res34.py:673-678`); wrapping :func:`batch_iterator`
+    in ``prefetch`` keeps the host one-plus batches ahead.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(stop)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item

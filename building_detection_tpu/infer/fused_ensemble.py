@@ -137,6 +137,45 @@ class FusedEnsemblePredictor:
             for bit, name in enumerate(self.names)
         }
 
+    def predict_masks_many(self, images) -> list:
+        """Pipelined batch prediction over multiple scenes.
+
+        Dispatches every scene's program before fetching any result: the
+        device queue executes FIFO, so scene N+1's upload and launch overlap
+        scene N's compute — on tunneled/remote devices this hides most of the
+        host<->device transfer time that dominates single-scene latency.
+        """
+        pending = []
+        for image_rgb in images:
+            h, w = image_rgb.shape[:2]
+            plan = T.plan_tiles(h, w, self.cfg)
+            if plan.num_tiles == 0:
+                pending.append((None, h, w))
+                continue
+            fn = self._compiled(
+                h, w, plan.canvas_h, plan.canvas_w, plan.num_tiles
+            )
+            out = fn(
+                self.params,
+                self.states,
+                jnp.asarray(image_rgb),
+                T.origins_array(plan),
+            )
+            pending.append((out, h, w))
+        results = []
+        for out, h, w in pending:
+            if out is None:
+                packed = np.zeros((h, w), np.uint8)
+            else:
+                packed = np.asarray(out)[:h, :w]
+            results.append(
+                {
+                    name: (((packed >> bit) & 1) * np.uint8(255))
+                    for bit, name in enumerate(self.names)
+                }
+            )
+        return results
+
     def predict_vote(
         self, image_rgb: np.ndarray, threshold: int = 3
     ) -> np.ndarray:

@@ -109,6 +109,25 @@ class Pipeline:
             corners, height = E.extract_polygons(fused, self.cfg.edge)
         return PredictResult(masks, fused, corners, height)
 
+    def predict_images(self, images: List[np.ndarray]) -> List[PredictResult]:
+        """Batch prediction: device work for all scenes is pipelined (uploads
+        and downloads overlap compute), host post-processing runs per scene."""
+        if hasattr(self.ensemble, "predict_masks_many"):
+            with self.timer.stage("ensemble_forward"):
+                all_masks = self.ensemble.predict_masks_many(images)
+        else:
+            all_masks = [self.ensemble.predict_masks(img) for img in images]
+        results = []
+        for masks in all_masks:
+            with self.timer.stage("fusion"):
+                fused = F.fuse_masks(
+                    [masks[k] for k in sorted(masks)], self.cfg.fuse
+                )
+            with self.timer.stage("polygons"):
+                corners, height = E.extract_polygons(fused, self.cfg.edge)
+            results.append(PredictResult(masks, fused, corners, height))
+        return results
+
     def predict_file(
         self,
         img_path: str,

@@ -64,3 +64,21 @@ class TestFusedEnsemble:
         out = fused.predict_masks(np.zeros((4, 4, 3), np.uint8))
         for m in out.values():
             np.testing.assert_array_equal(m, np.zeros((4, 4), np.uint8))
+
+
+class TestPipelinedBatch:
+    def test_many_matches_single_calls(self):
+        members = make_members()
+        fused = FusedEnsemblePredictor(members, CFG, batch_tiles=3, compute_dtype=jnp.float32)
+        rng = np.random.RandomState(5)
+        scenes = [
+            rng.randint(0, 256, (56, 80, 3), np.uint8),
+            rng.randint(0, 256, (40, 40, 3), np.uint8),
+            np.zeros((4, 4, 3), np.uint8),  # degenerate
+        ]
+        many = fused.predict_masks_many(scenes)
+        for scene, got in zip(scenes, many):
+            ref = fused.predict_masks(scene)
+            assert set(got) == set(ref)
+            for k in ref:
+                np.testing.assert_array_equal(got[k], ref[k])
