@@ -152,6 +152,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from building_detection_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     names = os.environ.get(
         "BDT_BENCH_MODELS", "res34,hrnet,v3plus,scse,bam"
     ).split(",")

@@ -23,6 +23,9 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
+    from building_detection_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     from building_detection_tpu.core.config import Config
     from building_detection_tpu.infer.pipeline import Pipeline
     from building_detection_tpu.models.registry import ENSEMBLE_ORDER

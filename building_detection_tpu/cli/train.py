@@ -46,6 +46,9 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
+    from building_detection_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     from building_detection_tpu.core.config import TrainConfig
     from building_detection_tpu.data.dataset import batch_iterator, list_pairs
     from building_detection_tpu.parallel.mesh import make_mesh

@@ -50,15 +50,19 @@ class TiledPredictor:
         batch_tiles: int = 8,
         compute_dtype=jnp.bfloat16,
         mesh=None,
+        device=None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis; tile
         batches shard across it (tile data parallelism over ICI — SURVEY.md
-        section 2.3's configuration 1).  ``batch_tiles`` is per device."""
+        section 2.3's configuration 1).  ``batch_tiles`` is per device.
+        ``device``: pin this model to a single device instead (used by the
+        model-parallel ensemble, SURVEY.md section 2.3's configuration 2)."""
         self.model_fn = model_fn
         self.params = params
         self.state = state
         self.cfg = cfg
         self.mesh = mesh
+        self.device = device
         n_dev = 1 if mesh is None else mesh.devices.size
         self.batch_tiles = batch_tiles * n_dev
         self.compute_dtype = compute_dtype
@@ -67,6 +71,11 @@ class TiledPredictor:
 
             self.params = pmesh.replicate(params, mesh)
             self.state = pmesh.replicate(state, mesh)
+        elif device is not None:
+            # pin this model to one device (ensemble model parallelism:
+            # committed operands make every dispatch run there)
+            self.params = jax.device_put(params, device)
+            self.state = jax.device_put(state, device)
 
     @functools.lru_cache(maxsize=32)
     def _compiled(self, h: int, w: int, canvas_h: int, canvas_w: int, num_tiles: int):
@@ -131,19 +140,36 @@ class TiledPredictor:
 
         return jax.jit(run)
 
-    def predict_mask(self, image_rgb: np.ndarray) -> np.ndarray:
-        """(H, W, 3) uint8 RGB -> (H, W) uint8 {0, 255} building mask."""
+    def dispatch(self, image_rgb: np.ndarray):
+        """Enqueue the scene's program; returns (device_array | None, h, w).
+
+        Fetch with :meth:`fetch`.  Splitting dispatch from fetch lets callers
+        overlap several models/scenes (the device queue is async; only a host
+        fetch blocks).
+        """
         h, w = image_rgb.shape[:2]
         plan = T.plan_tiles(h, w, self.cfg)
         if plan.num_tiles == 0:
             # Degenerate scenes (dim <= overlap) produce a blank mask in the
             # reference (`predict.py:105-106` loops never run).
-            return np.zeros((h, w), np.uint8)
+            return None, h, w
         fn = self._compiled(h, w, plan.canvas_h, plan.canvas_w, plan.num_tiles)
-        mask = fn(
-            self.params, self.state, jnp.asarray(image_rgb), T.origins_array(plan)
-        )
+        img = jnp.asarray(image_rgb)
+        if self.device is not None:
+            img = jax.device_put(img, self.device)
+        mask = fn(self.params, self.state, img, T.origins_array(plan))
+        return mask, h, w
+
+    @staticmethod
+    def fetch(dispatched) -> np.ndarray:
+        mask, h, w = dispatched
+        if mask is None:
+            return np.zeros((h, w), np.uint8)
         return np.asarray(mask)[:h, :w]
+
+    def predict_mask(self, image_rgb: np.ndarray) -> np.ndarray:
+        """(H, W, 3) uint8 RGB -> (H, W) uint8 {0, 255} building mask."""
+        return self.fetch(self.dispatch(image_rgb))
 
 
 class EnsemblePredictor:
@@ -159,13 +185,31 @@ class EnsemblePredictor:
         cfg: TilerConfig = TilerConfig(),
         batch_tiles: int = 8,
         compute_dtype=jnp.bfloat16,
+        devices: Optional[list] = None,
     ):
+        """``devices``: assign ensemble members round-robin to these devices
+        (model parallelism over the ensemble, SURVEY.md section 2.3's
+        configuration 2 — the reference's disabled process-per-model idea,
+        `buildAPI.py:152-200`, done properly).  All five members then run
+        CONCURRENTLY: dispatches are async, only the fetch blocks."""
         self.predictors = {
-            name: TiledPredictor(fn, params, state, cfg, batch_tiles, compute_dtype)
-            for name, (fn, params, state) in members.items()
+            name: TiledPredictor(
+                fn,
+                params,
+                state,
+                cfg,
+                batch_tiles,
+                compute_dtype,
+                device=devices[i % len(devices)] if devices else None,
+            )
+            for i, (name, (fn, params, state)) in enumerate(members.items())
         }
 
     def predict_masks(self, image_rgb: np.ndarray) -> Dict[str, np.ndarray]:
+        # dispatch all members first (concurrent across devices), then fetch
+        dispatched = {
+            name: p.dispatch(image_rgb) for name, p in self.predictors.items()
+        }
         return {
-            name: p.predict_mask(image_rgb) for name, p in self.predictors.items()
+            name: TiledPredictor.fetch(d) for name, d in dispatched.items()
         }

@@ -103,3 +103,25 @@ class TestCallbacks:
 
         png = uio.imread_rgb(str(tmp_path / "epoch_1_display.png"))
         assert png.shape == (16, 16 * 3 + 16, 3)
+
+
+class TestEnsembleModelParallel:
+    def test_per_device_members_match_single(self):
+        """Members pinned to distinct devices produce identical masks."""
+        from building_detection_tpu.infer.engine import EnsemblePredictor
+
+        x = jax.ShapeDtypeStruct((1, 32, 32, 3), jnp.float32)
+        members = {}
+        for i, name in enumerate(["a", "b", "c", "d", "e"]):
+            params, state = M.init(tiny_model, jax.random.key(i), x)
+            members[name] = (tiny_model, params, state)
+        img = np.random.RandomState(7).randint(0, 256, (56, 80, 3), np.uint8)
+        single = EnsemblePredictor(members, CFG, batch_tiles=2, compute_dtype=jnp.float32)
+        multi = EnsemblePredictor(
+            members, CFG, batch_tiles=2, compute_dtype=jnp.float32,
+            devices=jax.devices()[:5],
+        )
+        ref = single.predict_masks(img)
+        got = multi.predict_masks(img)
+        for k in ref:
+            np.testing.assert_array_equal(got[k], ref[k])
