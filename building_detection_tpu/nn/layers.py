@@ -20,7 +20,7 @@ output dtype breaks the conv transpose rule under autodiff (mixed-dtype dW).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ Pixel parity with a cv2 transcription of the reference is asserted in
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Sequence, Tuple, Union
 
 import numpy as np
 

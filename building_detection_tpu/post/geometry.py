@@ -21,7 +21,7 @@ Suzuki-Abe border following of 8-connected components, all border pixels.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 from scipy import ndimage

@@ -31,7 +31,6 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional, Tuple
 
-import numpy as np
 
 from building_detection_tpu.core.config import Config
 from building_detection_tpu.utils import io as uio

@@ -77,3 +77,37 @@ class TestTiledPredictor:
         pred, _ = make_predictor()
         img = np.full((6, 6, 3), 200, np.uint8)
         np.testing.assert_array_equal(pred.predict_mask(img), np.zeros((6, 6), np.uint8))
+
+
+class TestLegacyNonSquareReplication:
+    def test_buggy_loop_replicated_exactly(self):
+        """fix_nonsquare_bug=False reproduces the reference's width-over-new_h
+        loop (predict.py:106) end to end, including the mis-tiled region."""
+        cfg = TilerConfig(tile=32, stride=24, overlap=8, fix_nonsquare_bug=False)
+        x = jax.ShapeDtypeStruct((1, CFG.tile, CFG.tile, 3), jnp.float32)
+        params, state = M.init(tiny_model, jax.random.key(0), x)
+        pred = TiledPredictor(
+            tiny_model, params, state, cfg, batch_tiles=3, compute_dtype=jnp.float32
+        )
+        apply_fn = jax.jit(lambda t: M.apply(tiny_model, params, state, t)[0])
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (40, 81, 3), np.uint8)  # wide scene
+
+        # literal reference loop: BOTH loops over the height-derived count
+        image = img / 127.5 - 1
+        h, w = image.shape[:2]
+        n_h = max(-(-(h - cfg.overlap) // cfg.stride), 0)
+        n_w = max(-(-(w - cfg.overlap) // cfg.stride), 0)
+        new_h = max(n_h * cfg.stride + cfg.overlap, cfg.tile)
+        new_w = max(n_w * cfg.stride + cfg.overlap, cfg.tile)
+        tmp = np.zeros((new_h, new_w, 3))
+        acc = np.zeros((new_h, new_w), np.int8)
+        tmp[:h, :w] = image
+        for i in range(0, new_h - cfg.overlap, cfg.stride):
+            for j in range(0, new_h - cfg.overlap, cfg.stride):  # the bug
+                part = tmp[i : i + cfg.tile, j : j + cfg.tile][None].astype(np.float32)
+                probs = np.asarray(apply_fn(jnp.asarray(part)))[0]
+                acc[i : i + cfg.tile, j : j + cfg.tile] += probs.argmax(-1).astype(np.int8)
+        expected = np.where(acc >= 1, 255, 0).astype(np.uint8)[:h, :w]
+
+        np.testing.assert_array_equal(pred.predict_mask(img), expected)
