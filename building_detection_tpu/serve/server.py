@@ -152,9 +152,27 @@ def make_handler(service: DetectionService):
     return Handler
 
 
-def serve(pipeline, cfg: Config = Config(), root_dir: str = ".", host=None, port=None):
-    """Blocking server on the reference's port 5001 (`buildAPI.py:233`)."""
+def serve(
+    pipeline,
+    cfg: Config = Config(),
+    root_dir: str = ".",
+    host=None,
+    port=None,
+    warmup: bool = True,
+):
+    """Blocking server on the reference's port 5001 (`buildAPI.py:233`).
+
+    ``warmup`` runs one dummy tile through the ensemble before accepting
+    requests so the first client doesn't pay the XLA compile (the persistent
+    compilation cache makes this fast on restarts)."""
     service = DetectionService(pipeline, cfg, root_dir)
+    if warmup:
+        import numpy as np
+
+        tile = cfg.tiler.tile
+        print("warming up (compiling the ensemble)...")
+        pipeline.predict_image(np.zeros((tile, tile, 3), np.uint8))
+        print("warm.")
     host = host if host is not None else cfg.serve.host
     port = port if port is not None else cfg.serve.port
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
