@@ -159,7 +159,7 @@ def main() -> int:
     names = os.environ.get(
         "BDT_BENCH_MODELS", "res34,hrnet,v3plus,scse,bam"
     ).split(",")
-    batch = int(os.environ.get("BDT_BENCH_BATCH", "18"))
+    batch = int(os.environ.get("BDT_BENCH_BATCH", "36"))
     iters = int(os.environ.get("BDT_BENCH_ITERS", "10"))
     mode = os.environ.get("BDT_BENCH_MODE", "scene")
 
