@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="keep per-model masks (the reference deletes them, predict.py:174-178)",
     )
+    p.add_argument(
+        "--fast-vote",
+        action="store_true",
+        help="skip the reference's per-model morphological cleanup and write "
+        "the plain on-device 3-of-5 vote (faster; NOT mask-parity)",
+    )
     p.add_argument("--config", help="JSON config overriding the reference constants")
     return p
 
@@ -83,7 +89,18 @@ def main(argv=None) -> int:
 
     # decode everything, run device work pipelined, post-process per scene
     arrays = [uio.imread_rgb(p) for p in images]
-    results = pipe.predict_images(arrays)
+    if args.fast_vote:
+        from building_detection_tpu.post import edges as E_mod
+
+        results = []
+        for arr in arrays:
+            fused = pipe.ensemble.predict_vote(arr, cfg.fuse.vote_threshold)
+            corners, height = E_mod.extract_polygons(fused, cfg.edge)
+            from building_detection_tpu.infer.pipeline import PredictResult
+
+            results.append(PredictResult({}, fused, corners, height))
+    else:
+        results = pipe.predict_images(arrays)
     for path, result in zip(images, results):
         name = os.path.splitext(os.path.basename(path))[0]
         out_dir = os.path.join(args.out, name)
