@@ -22,7 +22,6 @@ Error paths return ``{"status": "NG", "data": null, "points": {}, "error": ...}`
 from __future__ import annotations
 
 import base64
-import io
 import json
 import os
 import re
