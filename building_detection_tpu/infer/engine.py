@@ -51,26 +51,38 @@ class TiledPredictor:
         compute_dtype=jnp.bfloat16,
         mesh=None,
         device=None,
+        tp: bool = False,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis; tile
         batches shard across it (tile data parallelism over ICI — SURVEY.md
-        section 2.3's configuration 1).  ``batch_tiles`` is per device.
-        ``device``: pin this model to a single device instead (used by the
-        model-parallel ensemble, SURVEY.md section 2.3's configuration 2)."""
+        section 2.3's configuration 1).  ``batch_tiles`` is per data-axis
+        device.  ``device``: pin this model to a single device instead (used
+        by the model-parallel ensemble, configuration 2).  ``tp=True``
+        additionally shards conv output channels over the mesh's ``model``
+        axis (GSPMD channel tensor parallelism; see parallel/tp.py)."""
         self.model_fn = model_fn
         self.params = params
         self.state = state
         self.cfg = cfg
         self.mesh = mesh
         self.device = device
-        n_dev = 1 if mesh is None else mesh.devices.size
-        self.batch_tiles = batch_tiles * n_dev
+        n_data = 1 if mesh is None else mesh.shape.get("data", 1)
+        self.batch_tiles = batch_tiles * n_data
         self.compute_dtype = compute_dtype
         if mesh is not None:
-            from building_detection_tpu.parallel import mesh as pmesh
+            if tp:
+                from building_detection_tpu.parallel.tp import (
+                    tp_replicate_state,
+                    tp_shard_params,
+                )
 
-            self.params = pmesh.replicate(params, mesh)
-            self.state = pmesh.replicate(state, mesh)
+                self.params = tp_shard_params(params, mesh)
+                self.state = tp_replicate_state(state, mesh)
+            else:
+                from building_detection_tpu.parallel import mesh as pmesh
+
+                self.params = pmesh.replicate(params, mesh)
+                self.state = pmesh.replicate(state, mesh)
         elif device is not None:
             # pin this model to one device (ensemble model parallelism:
             # committed operands make every dispatch run there)

@@ -125,3 +125,37 @@ class TestEnsembleModelParallel:
         got = multi.predict_masks(img)
         for k in ref:
             np.testing.assert_array_equal(got[k], ref[k])
+
+
+class TestChannelTensorParallel:
+    def test_tp_matches_single_device(self):
+        """GSPMD channel TP over the model axis == single-device output."""
+        x = jax.ShapeDtypeStruct((1, 32, 32, 3), jnp.float32)
+        params, state = M.init(tiny_model, jax.random.key(0), x)
+        img = np.random.RandomState(11).randint(0, 256, (80, 104, 3), np.uint8)
+        single = TiledPredictor(
+            tiny_model, params, state, CFG, batch_tiles=2, compute_dtype=jnp.float32
+        )
+        mesh = pmesh.make_mesh(data=1, model=8)
+        tp = TiledPredictor(
+            tiny_model, params, state, CFG, batch_tiles=2,
+            compute_dtype=jnp.float32, mesh=mesh, tp=True,
+        )
+        np.testing.assert_array_equal(single.predict_mask(img), tp.predict_mask(img))
+
+    def test_dp_plus_tp(self):
+        """2-way data x 4-way model mesh, both axes active."""
+        x = jax.ShapeDtypeStruct((1, 32, 32, 3), jnp.float32)
+        params, state = M.init(tiny_model, jax.random.key(1), x)
+        img = np.random.RandomState(12).randint(0, 256, (56, 56, 3), np.uint8)
+        single = TiledPredictor(
+            tiny_model, params, state, CFG, batch_tiles=2, compute_dtype=jnp.float32
+        )
+        mesh = pmesh.make_mesh(data=2, model=4)
+        both = TiledPredictor(
+            tiny_model, params, state, CFG, batch_tiles=1,
+            compute_dtype=jnp.float32, mesh=mesh, tp=True,
+        )
+        np.testing.assert_array_equal(
+            single.predict_mask(img), both.predict_mask(img)
+        )
