@@ -23,6 +23,10 @@ class TilerConfig:
     # fix is a no-op on the square WHU tiles used for parity; see
     # docs/QUIRKS.md).
     fix_nonsquare_bug: bool = True
+    # Round compiled program shapes up to power-of-two tile grids so scenes
+    # of arbitrary size reuse a handful of XLA programs (bit-identical
+    # output; some padded compute).  See ops/tiling.bucket_plan.
+    bucket_sizes: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

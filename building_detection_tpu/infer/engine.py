@@ -90,19 +90,25 @@ class TiledPredictor:
             self.state = jax.device_put(state, device)
 
     @functools.lru_cache(maxsize=32)
-    def _compiled(self, h: int, w: int, canvas_h: int, canvas_w: int, num_tiles: int):
+    def _compiled(self, canvas_h: int, canvas_w: int, num_tiles: int):
         cfg = self.cfg
         tile = cfg.tile
         batch = min(self.batch_tiles, max(num_tiles, 1))
         num_chunks = -(-num_tiles // batch)
         padded = num_chunks * batch
 
-        def run(params, state, img_u8: Array, origins: Array) -> Array:
-            # Normalize THEN zero-pad: the reference writes the normalized
-            # image into a zero canvas (`predict.py:102-104`), so the pad
-            # region is 0.0 in normalized space (mid-gray), not -1.
-            img = T.normalize(img_u8, cfg, dtype=self.compute_dtype)
-            canvas = jnp.pad(img, ((0, canvas_h - h), (0, canvas_w - w), (0, 0)))
+        def run(params, state, img_u8: Array, origins: Array, hw: Array) -> Array:
+            # img_u8 arrives host-padded to the canvas; the REAL extent (h, w)
+            # is a runtime scalar pair, so one program serves every scene
+            # that maps to this canvas/tile-count (see bucket_plan).
+            # The reference writes the normalized image into a zero canvas
+            # (`predict.py:102-104`): pad region must be 0.0 in normalized
+            # space (mid-gray), enforced with a validity mask.
+            norm = T.normalize(img_u8, cfg, dtype=self.compute_dtype)
+            row = lax.broadcasted_iota(jnp.int32, (canvas_h, canvas_w), 0)
+            col = lax.broadcasted_iota(jnp.int32, (canvas_h, canvas_w), 1)
+            valid = (row < hw[0]) & (col < hw[1])
+            canvas = jnp.where(valid[..., None], norm, 0)
             # pad origins by repeating the last tile (OR is idempotent)
             if padded != num_tiles:
                 reps = jnp.broadcast_to(origins[-1:], (padded - num_tiles, 2))
@@ -165,11 +171,17 @@ class TiledPredictor:
             # Degenerate scenes (dim <= overlap) produce a blank mask in the
             # reference (`predict.py:105-106` loops never run).
             return None, h, w
-        fn = self._compiled(h, w, plan.canvas_h, plan.canvas_w, plan.num_tiles)
-        img = jnp.asarray(image_rgb)
+        if self.cfg.bucket_sizes:
+            plan = T.bucket_plan(plan, self.cfg)
+        fn = self._compiled(plan.canvas_h, plan.canvas_w, plan.num_tiles)
+        padded = np.zeros((plan.canvas_h, plan.canvas_w, 3), np.uint8)
+        padded[:h, :w] = image_rgb
+        img = jnp.asarray(padded)
+        hw = jnp.asarray([h, w], jnp.int32)
         if self.device is not None:
             img = jax.device_put(img, self.device)
-        mask = fn(self.params, self.state, img, T.origins_array(plan))
+            hw = jax.device_put(hw, self.device)
+        mask = fn(self.params, self.state, img, T.origins_array(plan), hw)
         return mask, h, w
 
     @staticmethod

@@ -57,7 +57,7 @@ class FusedEnsemblePredictor:
             self.states = pmesh.replicate(self.states, mesh)
 
     @functools.lru_cache(maxsize=32)
-    def _compiled(self, h: int, w: int, canvas_h: int, canvas_w: int, num_tiles: int):
+    def _compiled(self, canvas_h: int, canvas_w: int, num_tiles: int):
         cfg = self.cfg
         tile = cfg.tile
         batch = min(self.batch_tiles, max(num_tiles, 1))
@@ -65,9 +65,15 @@ class FusedEnsemblePredictor:
         padded = num_chunks * batch
         n_models = len(self.names)
 
-        def run(params, states, img_u8: Array, origins: Array) -> Array:
-            img = T.normalize(img_u8, cfg, dtype=self.compute_dtype)
-            canvas = jnp.pad(img, ((0, canvas_h - h), (0, canvas_w - w), (0, 0)))
+        def run(params, states, img_u8: Array, origins: Array, hw: Array) -> Array:
+            # img_u8 is host-padded to the canvas; (h, w) arrive as runtime
+            # scalars so one program serves every scene mapping to this
+            # canvas/tile-count (bucket_plan).  Pad region is forced to 0.0
+            # in normalized space (reference contract, predict.py:102-104).
+            norm = T.normalize(img_u8, cfg, dtype=self.compute_dtype)
+            row = lax.broadcasted_iota(jnp.int32, (canvas_h, canvas_w), 0)
+            col = lax.broadcasted_iota(jnp.int32, (canvas_h, canvas_w), 1)
+            canvas = jnp.where(((row < hw[0]) & (col < hw[1]))[..., None], norm, 0)
             if padded != num_tiles:
                 reps = jnp.broadcast_to(origins[-1:], (padded - num_tiles, 2))
                 origins = jnp.concatenate([origins, reps], axis=0)
@@ -118,15 +124,27 @@ class FusedEnsemblePredictor:
 
         return jax.jit(run)
 
+    def _stage_inputs(self, image_rgb: np.ndarray, plan):
+        h, w = image_rgb.shape[:2]
+        padded = np.zeros((plan.canvas_h, plan.canvas_w, 3), np.uint8)
+        padded[:h, :w] = image_rgb
+        return (
+            jnp.asarray(padded),
+            T.origins_array(plan),
+            jnp.asarray([h, w], jnp.int32),
+        )
+
     def _run_packed(self, image_rgb: np.ndarray) -> np.ndarray:
         """(H, W) uint8 with one mask bit per ensemble member."""
         h, w = image_rgb.shape[:2]
         plan = T.plan_tiles(h, w, self.cfg)
         if plan.num_tiles == 0:
             return np.zeros((h, w), np.uint8)
-        fn = self._compiled(h, w, plan.canvas_h, plan.canvas_w, plan.num_tiles)
+        if self.cfg.bucket_sizes:
+            plan = T.bucket_plan(plan, self.cfg)
+        fn = self._compiled(plan.canvas_h, plan.canvas_w, plan.num_tiles)
         packed = fn(
-            self.params, self.states, jnp.asarray(image_rgb), T.origins_array(plan)
+            self.params, self.states, *self._stage_inputs(image_rgb, plan)
         )
         return np.asarray(packed)[:h, :w]
 
@@ -152,14 +170,11 @@ class FusedEnsemblePredictor:
             if plan.num_tiles == 0:
                 pending.append((None, h, w))
                 continue
-            fn = self._compiled(
-                h, w, plan.canvas_h, plan.canvas_w, plan.num_tiles
-            )
+            if self.cfg.bucket_sizes:
+                plan = T.bucket_plan(plan, self.cfg)
+            fn = self._compiled(plan.canvas_h, plan.canvas_w, plan.num_tiles)
             out = fn(
-                self.params,
-                self.states,
-                jnp.asarray(image_rgb),
-                T.origins_array(plan),
+                self.params, self.states, *self._stage_inputs(image_rgb, plan)
             )
             pending.append((out, h, w))
         results = []

@@ -115,3 +115,31 @@ def origins_array(plan: TilePlan) -> Array:
     if plan.num_tiles == 0:
         return jnp.zeros((0, 2), jnp.int32)
     return jnp.asarray(np.array(plan.origins, np.int32))
+
+
+def bucket_plan(plan: TilePlan, cfg: TilerConfig = TilerConfig()) -> TilePlan:
+    """Round the static program shape up to a bucket so arbitrary scene sizes
+    reuse a handful of compiled programs.
+
+    The canvas grows to the next power-of-two tile-grid size along each axis
+    and the origin list is padded by repeating the last REAL origin (OR is
+    idempotent, so repeats are no-ops).  Real tiles never touch the extra
+    zero canvas and padded "tiles" re-predict an existing window, so the
+    cropped mask is bit-identical to the unbucketed plan — only the compiled
+    program's static shape changes.  Origins stay a runtime argument.
+    """
+    if plan.num_tiles == 0:
+        return plan
+
+    def bucket_axis(size: int) -> Tuple[int, int]:
+        n = max(-(-(size - cfg.overlap) // cfg.stride), 1)
+        nb = 1
+        while nb < n:
+            nb *= 2
+        return nb * cfg.stride + cfg.overlap, nb
+
+    canvas_h, n_hb = bucket_axis(plan.canvas_h)
+    canvas_w, n_wb = bucket_axis(plan.canvas_w)
+    target = n_hb * n_wb
+    origins = plan.origins + (plan.origins[-1],) * (target - plan.num_tiles)
+    return TilePlan(plan.height, plan.width, canvas_h, canvas_w, origins)

@@ -111,3 +111,31 @@ class TestLegacyNonSquareReplication:
         expected = np.where(acc >= 1, 255, 0).astype(np.uint8)[:h, :w]
 
         np.testing.assert_array_equal(pred.predict_mask(img), expected)
+
+
+class TestBucketedPrograms:
+    def test_bucketed_output_identical_and_programs_shared(self):
+        cfg = TilerConfig(tile=32, stride=24, overlap=8, bucket_sizes=True)
+        x = jax.ShapeDtypeStruct((1, 32, 32, 3), jnp.float32)
+        params, state = M.init(tiny_model, jax.random.key(0), x)
+        bucketed = TiledPredictor(
+            tiny_model, params, state, cfg, batch_tiles=3, compute_dtype=jnp.float32
+        )
+        plain = TiledPredictor(
+            tiny_model, params, state,
+            TilerConfig(tile=32, stride=24, overlap=8),
+            batch_tiles=3, compute_dtype=jnp.float32,
+        )
+        rng = np.random.RandomState(4)
+        sizes = [(40, 81), (56, 56), (70, 100), (33, 47)]
+        imgs = {hw: rng.randint(0, 256, (*hw, 3), np.uint8) for hw in sizes}
+        # run the plain predictor first, then snapshot the (class-shared)
+        # compile cache and measure how many NEW programs bucketing needs
+        plain_masks = {hw: plain.predict_mask(imgs[hw]) for hw in sizes}
+        misses_before = TiledPredictor._compiled.cache_info().misses
+        for hw in sizes:
+            np.testing.assert_array_equal(
+                bucketed.predict_mask(imgs[hw]), plain_masks[hw], err_msg=str(hw)
+            )
+        new_programs = TiledPredictor._compiled.cache_info().misses - misses_before
+        assert new_programs <= 3, new_programs  # 4 scene sizes share <=3 programs

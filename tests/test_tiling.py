@@ -81,3 +81,26 @@ class TestDeviceOps:
         img = jnp.asarray([[[0, 127, 255]]], jnp.uint8)
         out = np.asarray(T.normalize(img))
         np.testing.assert_allclose(out, [[[-1.0, 127 / 127.5 - 1, 255 / 127.5 - 1]]], rtol=1e-6)
+
+
+class TestBucketPlan:
+    def test_bucket_shapes_and_origin_padding(self):
+        cfg = TilerConfig()
+        plan = T.plan_tiles(1000, 2048, cfg)  # 3 x 6 tiles
+        b = T.bucket_plan(plan, cfg)
+        # grid rounds up to 4 x 8 -> canvas 4*360+152, 8*360+152
+        assert (b.canvas_h, b.canvas_w) == (4 * 360 + 152, 8 * 360 + 152)
+        assert b.num_tiles == 32
+        # padded origins repeat the last real origin (idempotent under OR)
+        assert b.origins[: plan.num_tiles] == plan.origins
+        assert set(b.origins[plan.num_tiles:]) == {plan.origins[-1]}
+        # real origins untouched, within the real canvas
+        assert max(o[0] for o in plan.origins) + cfg.tile <= plan.canvas_h
+
+    def test_few_buckets_for_many_sizes(self):
+        cfg = TilerConfig()
+        keys = set()
+        for dim in range(400, 3000, 173):
+            plan = T.bucket_plan(T.plan_tiles(dim, dim, cfg), cfg)
+            keys.add((plan.canvas_h, plan.canvas_w, plan.num_tiles))
+        assert len(keys) <= 4  # 25 scene sizes -> at most 4 programs
