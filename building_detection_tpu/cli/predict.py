@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
         "the plain on-device 3-of-5 vote (faster; NOT mask-parity)",
     )
     p.add_argument("--config", help="JSON config overriding the reference constants")
+    p.add_argument(
+        "--bucket",
+        action="store_true",
+        help="bucket program shapes so mixed scene sizes share compiled "
+        "programs (bit-identical output)",
+    )
     return p
 
 
@@ -62,6 +68,12 @@ def main(argv=None) -> int:
     from building_detection_tpu.models.registry import ENSEMBLE_ORDER
 
     cfg = Config.from_json(args.config) if args.config else Config()
+    if args.bucket:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, tiler=dataclasses.replace(cfg.tiler, bucket_sizes=True)
+        )
     weights = {}
     if args.weights_dir:
         for name in ENSEMBLE_ORDER:

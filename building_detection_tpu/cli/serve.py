@@ -15,6 +15,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--root-dir", default=".", help="where receive_file/ and all_result/ live")
     p.add_argument("--batch-tiles", type=int, default=8)
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
+    p.add_argument(
+        "--no-bucket",
+        action="store_true",
+        help="disable bucketed program shapes (bucketing lets mixed upload "
+        "sizes share compiled programs; output is bit-identical)",
+    )
     return p
 
 
@@ -37,13 +43,17 @@ def main(argv=None) -> int:
             path = os.path.join(args.weights_dir, f"{name}.npz")
             if os.path.exists(path):
                 weights[name] = path
+    from building_detection_tpu.core.config import TilerConfig
+
+    cfg = Config(tiler=TilerConfig(bucket_sizes=not args.no_bucket))
     pipe = Pipeline(
         weights=weights,
+        cfg=cfg,
         batch_tiles=args.batch_tiles,
         compute_dtype=jnp.bfloat16 if args.precision == "bf16" else jnp.float32,
     )
     print("模型加载完成 (models loaded)")
-    serve(pipe, Config(), root_dir=args.root_dir, host=args.host, port=args.port)
+    serve(pipe, cfg, root_dir=args.root_dir, host=args.host, port=args.port)
     return 0
 
 

@@ -103,3 +103,17 @@ class TestDatasetBuilder:
     def test_missing_dir_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             DatasetBuilder("/nonexistent", "/nonexistent", str(tmp_path), str(tmp_path))
+
+
+class TestPrefetch:
+    def test_prefetch_preserves_order_and_content(self):
+        from building_detection_tpu.data.dataset import prefetch
+
+        def gen():
+            for i in range(10):
+                yield (np.full((2, 2), i, np.uint8), np.full((2,), i, np.uint8))
+
+        out = list(prefetch(gen(), depth=3))
+        assert len(out) == 10
+        for i, (a, b) in enumerate(out):
+            assert a[0, 0] == i and b[0] == i
