@@ -204,3 +204,46 @@ class TestNativeFastPath:
         G._find_contours_py(mb)
         t_py = time.perf_counter() - t0
         assert t_native < t_py, (t_native, t_py)
+
+
+class TestPathologicalShapes:
+    """Structured degenerate shapes (1-px lines, rings, checkerboards,
+    touching corners) must match cv2 exactly end to end."""
+
+    def cases(self):
+        out = []
+        m = np.zeros((64, 64), np.uint8); m[10, 5:60] = 255; out.append(m)
+        m = np.zeros((64, 64), np.uint8); m[5:60, 33] = 255; out.append(m)
+        m = np.zeros((64, 64), np.uint8)
+        for i in range(50): m[5 + i, 5 + i] = 255
+        out.append(m)
+        m = np.zeros((96, 96), np.uint8)
+        cv.circle(m, (48, 48), 40, 255, 2); cv.circle(m, (48, 48), 20, 255, 2)
+        out.append(m)
+        m = np.zeros((64, 64), np.uint8)
+        for i in range(0, 64, 4):
+            for j in range(0, 64, 4): m[i:i + 2, j:j + 2] = 255
+        out.append(m)
+        m = np.zeros((32, 32), np.uint8); m[4:14, 4:14] = 255; m[14:24, 14:24] = 255
+        out.append(m)
+        out.append(np.full((32, 32), 255, np.uint8))  # border-touching full frame
+        return out
+
+    def test_contours_and_dp_match_cv2(self):
+        for idx, m in enumerate(self.cases()):
+            ours = G.find_contours(m)
+            theirs = cv2_contours(m)
+            assert len(ours) == len(theirs), idx
+            assert {as_cyclic_tuple(c) for c in ours} == {
+                as_cyclic_tuple(c) for c in theirs
+            }, idx
+            for c in theirs:
+                cc = c.reshape(-1, 2)
+                assert G.contour_area(cc) == pytest.approx(
+                    cv.contourArea(c), abs=1e-6
+                )
+                for rate in (0.01, 0.002, 0.05):
+                    eps = rate * cv.arcLength(c, True)
+                    a = G.approx_poly_dp(cc, eps, True)
+                    b = cv.approxPolyDP(c, eps, True).reshape(-1, 2)
+                    assert as_cyclic_tuple(a) == as_cyclic_tuple(b), (idx, rate)

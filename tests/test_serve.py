@@ -131,3 +131,26 @@ class TestPointsFormat:
         corners = [[[1, 2, 1], [3, 4, 3]], [[9, 9], [8, 8]]]
         d = uio.points_dict(corners)
         assert d == {"0": "1,3 2,4 1,3 ", "1": "9,8 9,8 "}
+
+
+class TestConcurrentRequests:
+    def test_two_clients_simultaneously(self, server, tmp_path):
+        """The service lock serializes predictions; both clients succeed and
+        get isolated per-client result dirs (buildAPI.py:86-92)."""
+        import concurrent.futures
+
+        httpd, root = server
+        port = httpd.server_address[1]
+        path = make_image(root, "both.png")
+
+        def call(cid):
+            return bdt_client.detect(
+                path, url=f"http://127.0.0.1:{port}/photo", client_id=cid
+            )
+
+        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+            futs = [ex.submit(call, f"client_{i}") for i in range(2)]
+            results = [f.result(timeout=60) for f in futs]
+        assert all(r["status"] == "success" for r in results)
+        assert (root / "all_result" / "client_0" / "result.png").exists()
+        assert (root / "all_result" / "client_1" / "result.png").exists()
