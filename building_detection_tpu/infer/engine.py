@@ -90,25 +90,34 @@ class TiledPredictor:
             self.state = jax.device_put(state, device)
 
     @functools.lru_cache(maxsize=32)
-    def _compiled(self, canvas_h: int, canvas_w: int, num_tiles: int):
+    def _compiled(self, h: int, w: int, canvas_h: int, canvas_w: int, num_tiles: int):
+        """One program per (h, w, canvas, tiles); with bucketing, h == w == 0
+        and the real extent arrives as runtime scalars, so one program serves
+        every scene mapping to the bucket (see bucket_plan)."""
         cfg = self.cfg
         tile = cfg.tile
         batch = min(self.batch_tiles, max(num_tiles, 1))
         num_chunks = -(-num_tiles // batch)
         padded = num_chunks * batch
+        runtime_hw = h == 0 and w == 0
 
         def run(params, state, img_u8: Array, origins: Array, hw: Array) -> Array:
-            # img_u8 arrives host-padded to the canvas; the REAL extent (h, w)
-            # is a runtime scalar pair, so one program serves every scene
-            # that maps to this canvas/tile-count (see bucket_plan).
             # The reference writes the normalized image into a zero canvas
             # (`predict.py:102-104`): pad region must be 0.0 in normalized
-            # space (mid-gray), enforced with a validity mask.
+            # space (mid-gray).
             norm = T.normalize(img_u8, cfg, dtype=self.compute_dtype)
-            row = lax.broadcasted_iota(jnp.int32, (canvas_h, canvas_w), 0)
-            col = lax.broadcasted_iota(jnp.int32, (canvas_h, canvas_w), 1)
-            valid = (row < hw[0]) & (col < hw[1])
-            canvas = jnp.where(valid[..., None], norm, 0)
+            if runtime_hw:
+                # bucketed: img is host-padded to the canvas; mask the pad
+                row = lax.broadcasted_iota(jnp.int32, (canvas_h, canvas_w), 0)
+                col = lax.broadcasted_iota(jnp.int32, (canvas_h, canvas_w), 1)
+                valid = (row < hw[0]) & (col < hw[1])
+                canvas = jnp.where(valid[..., None], norm, 0)
+            else:
+                # static shape: upload the raw image, pad on device (cheaper
+                # uploads through the slow tunnel)
+                canvas = jnp.pad(
+                    norm, ((0, canvas_h - h), (0, canvas_w - w), (0, 0))
+                )
             # pad origins by repeating the last tile (OR is idempotent)
             if padded != num_tiles:
                 reps = jnp.broadcast_to(origins[-1:], (padded - num_tiles, 2))
@@ -173,10 +182,13 @@ class TiledPredictor:
             return None, h, w
         if self.cfg.bucket_sizes:
             plan = T.bucket_plan(plan, self.cfg)
-        fn = self._compiled(plan.canvas_h, plan.canvas_w, plan.num_tiles)
-        padded = np.zeros((plan.canvas_h, plan.canvas_w, 3), np.uint8)
-        padded[:h, :w] = image_rgb
-        img = jnp.asarray(padded)
+            fn = self._compiled(0, 0, plan.canvas_h, plan.canvas_w, plan.num_tiles)
+            staged = np.zeros((plan.canvas_h, plan.canvas_w, 3), np.uint8)
+            staged[:h, :w] = image_rgb
+        else:
+            fn = self._compiled(h, w, plan.canvas_h, plan.canvas_w, plan.num_tiles)
+            staged = image_rgb
+        img = jnp.asarray(staged)
         hw = jnp.asarray([h, w], jnp.int32)
         if self.device is not None:
             img = jax.device_put(img, self.device)

@@ -57,23 +57,32 @@ class FusedEnsemblePredictor:
             self.states = pmesh.replicate(self.states, mesh)
 
     @functools.lru_cache(maxsize=32)
-    def _compiled(self, canvas_h: int, canvas_w: int, num_tiles: int):
+    def _compiled(self, h: int, w: int, canvas_h: int, canvas_w: int, num_tiles: int):
         cfg = self.cfg
         tile = cfg.tile
         batch = min(self.batch_tiles, max(num_tiles, 1))
         num_chunks = -(-num_tiles // batch)
         padded = num_chunks * batch
         n_models = len(self.names)
+        runtime_hw = h == 0 and w == 0
 
         def run(params, states, img_u8: Array, origins: Array, hw: Array) -> Array:
-            # img_u8 is host-padded to the canvas; (h, w) arrive as runtime
-            # scalars so one program serves every scene mapping to this
-            # canvas/tile-count (bucket_plan).  Pad region is forced to 0.0
-            # in normalized space (reference contract, predict.py:102-104).
+            # Pad region is forced to 0.0 in normalized space (reference
+            # contract, predict.py:102-104).  With bucketing (h == w == 0)
+            # the image arrives host-padded and the real extent is a runtime
+            # scalar pair; otherwise the raw image pads on device (cheaper
+            # uploads through the slow tunnel).
             norm = T.normalize(img_u8, cfg, dtype=self.compute_dtype)
-            row = lax.broadcasted_iota(jnp.int32, (canvas_h, canvas_w), 0)
-            col = lax.broadcasted_iota(jnp.int32, (canvas_h, canvas_w), 1)
-            canvas = jnp.where(((row < hw[0]) & (col < hw[1]))[..., None], norm, 0)
+            if runtime_hw:
+                row = lax.broadcasted_iota(jnp.int32, (canvas_h, canvas_w), 0)
+                col = lax.broadcasted_iota(jnp.int32, (canvas_h, canvas_w), 1)
+                canvas = jnp.where(
+                    ((row < hw[0]) & (col < hw[1]))[..., None], norm, 0
+                )
+            else:
+                canvas = jnp.pad(
+                    norm, ((0, canvas_h - h), (0, canvas_w - w), (0, 0))
+                )
             if padded != num_tiles:
                 reps = jnp.broadcast_to(origins[-1:], (padded - num_tiles, 2))
                 origins = jnp.concatenate([origins, reps], axis=0)
@@ -124,12 +133,18 @@ class FusedEnsemblePredictor:
 
         return jax.jit(run)
 
-    def _stage_inputs(self, image_rgb: np.ndarray, plan):
+    def _stage(self, image_rgb: np.ndarray, plan):
+        """(compiled_fn, staged device args) for one scene."""
         h, w = image_rgb.shape[:2]
-        padded = np.zeros((plan.canvas_h, plan.canvas_w, 3), np.uint8)
-        padded[:h, :w] = image_rgb
-        return (
-            jnp.asarray(padded),
+        if self.cfg.bucket_sizes:
+            fn = self._compiled(0, 0, plan.canvas_h, plan.canvas_w, plan.num_tiles)
+            staged = np.zeros((plan.canvas_h, plan.canvas_w, 3), np.uint8)
+            staged[:h, :w] = image_rgb
+        else:
+            fn = self._compiled(h, w, plan.canvas_h, plan.canvas_w, plan.num_tiles)
+            staged = image_rgb
+        return fn, (
+            jnp.asarray(staged),
             T.origins_array(plan),
             jnp.asarray([h, w], jnp.int32),
         )
@@ -142,10 +157,8 @@ class FusedEnsemblePredictor:
             return np.zeros((h, w), np.uint8)
         if self.cfg.bucket_sizes:
             plan = T.bucket_plan(plan, self.cfg)
-        fn = self._compiled(plan.canvas_h, plan.canvas_w, plan.num_tiles)
-        packed = fn(
-            self.params, self.states, *self._stage_inputs(image_rgb, plan)
-        )
+        fn, staged = self._stage(image_rgb, plan)
+        packed = fn(self.params, self.states, *staged)
         return np.asarray(packed)[:h, :w]
 
     def predict_masks(self, image_rgb: np.ndarray) -> Dict[str, np.ndarray]:
@@ -172,10 +185,8 @@ class FusedEnsemblePredictor:
                 continue
             if self.cfg.bucket_sizes:
                 plan = T.bucket_plan(plan, self.cfg)
-            fn = self._compiled(plan.canvas_h, plan.canvas_w, plan.num_tiles)
-            out = fn(
-                self.params, self.states, *self._stage_inputs(image_rgb, plan)
-            )
+            fn, staged = self._stage(image_rgb, plan)
+            out = fn(self.params, self.states, *staged)
             pending.append((out, h, w))
         results = []
         for out, h, w in pending:
