@@ -203,12 +203,14 @@ def approx_poly_dp(contour: np.ndarray, epsilon: float, closed: bool = True) -> 
        axis-aligned, and the successive inner product is non-negative —
        including OpenCV's in-place circular-buffer aliasing at the ring wrap.
 
-    Known limit: on extreme self-touching contours (50% random-noise masks)
+    Known limits: on extreme self-touching contours (50% random-noise masks)
     cv2 occasionally drops 1-2 additional near-collinear points that this
-    implementation keeps.  Deep fuzzing of the realistic pipeline (fused
-    building masks after hole-fill/area cleanup, 240 randomized runs) shows
-    zero divergence; structured pathological shapes (1-px lines, rings,
-    checkerboards, touching corners) also match exactly.
+    implementation keeps, and in rare cases the output ring starts at a
+    different point (cyclically identical polygon).  Deep fuzzing of the
+    realistic pipeline (fused building masks after hole-fill/area cleanup,
+    640 randomized runs) shows zero semantic divergence — one start-point
+    rotation; structured pathological shapes (1-px lines, rings,
+    checkerboards, touching corners) match exactly.
     """
     pts = np.asarray(contour, np.int64).reshape(-1, 2)
     n = len(pts)
