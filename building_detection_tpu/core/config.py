@@ -136,7 +136,13 @@ class Config:
         for field in dataclasses.fields(Config):
             if field.name in raw:
                 sub_cls = field.default.__class__
-                kw[field.name] = sub_cls(**raw[field.name])
+                # JSON has no tuples; coerce lists back so round-tripped
+                # configs stay hashable and == their defaults
+                vals = {
+                    k: tuple(v) if isinstance(v, list) else v
+                    for k, v in raw[field.name].items()
+                }
+                kw[field.name] = sub_cls(**vals)
         return Config(**kw)
 
     def to_json(self, path: str) -> None:

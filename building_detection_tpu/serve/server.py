@@ -15,9 +15,19 @@ Error paths return ``{"status": "NG", "data": null, "points": {}, "error": ...}`
 * ``data`` is a base64 *string* — the reference stuffs a ``bytes`` object
   into its JSON (`buildAPI.py:123-126`), which only serialised on the
   historical Flask 1.x stack;
-* models are loaded once at server construction (`buildAPI.py:78`), requests
-  are serialised with a lock (one TPU, same effective behaviour as the
-  reference's dev server).
+* models are loaded once at server construction (`buildAPI.py:78`);
+* ``clientID`` is validated (``[A-Za-z0-9._-]`` only, no traversal) before it
+  touches the filesystem — the reference joins it into a path unchecked
+  (`buildAPI.py:86-92`); IP-derived IDs from the reference client
+  (`CLient/Client.py:8-24`) always pass;
+* uploads get a per-request unique filename — the reference keys the shared
+  ``receive_file/`` drop dir by client basename (`buildAPI.py:104-109`), so
+  two concurrent uploads named ``a.png`` would race and could swap results;
+* concurrent requests are **micro-batched**: the device worker coalesces all
+  queued scenes into one pipelined ``predict_images`` call instead of
+  serialising full round-trips per request (the reference runs Flask's
+  single-threaded dev server, one full ensemble per request,
+  `buildAPI.py:233`).
 """
 from __future__ import annotations
 
@@ -27,12 +37,15 @@ import os
 import re
 import shutil
 import threading
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 
 from building_detection_tpu.core.config import Config
 from building_detection_tpu.utils import io as uio
+
+_CLIENT_ID_RE = re.compile(r"^[A-Za-z0-9._-]+$")
 
 
 def parse_multipart(body: bytes, content_type: str) -> Dict[str, Tuple[str, bytes]]:
@@ -51,7 +64,10 @@ def parse_multipart(body: bytes, content_type: str) -> Dict[str, Tuple[str, byte
             header_blob, payload = part.split(b"\r\n\r\n", 1)
         except ValueError:
             continue
-        payload = payload.rstrip(b"\r\n")
+        # exactly ONE CRLF separates the payload from the next boundary;
+        # payloads may legitimately end in newline bytes themselves
+        if payload.endswith(b"\r\n"):
+            payload = payload[:-2]
         headers = header_blob.decode("utf-8", "replace")
         name_m = re.search(r'name="([^"]*)"', headers)
         file_m = re.search(r'filename="([^"]*)"', headers)
@@ -61,6 +77,82 @@ def parse_multipart(body: bytes, content_type: str) -> Dict[str, Tuple[str, byte
                 payload,
             )
     return out
+
+
+class _Job:
+    __slots__ = ("image", "event", "result", "error")
+
+    def __init__(self, image):
+        self.image = image
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[BaseException] = None
+
+
+class _MicroBatcher:
+    """Coalesces concurrent prediction requests into pipelined device calls.
+
+    Requests that arrive while the device is busy queue up; when the worker
+    frees, it drains the whole queue (up to ``max_batch``) into ONE
+    ``predict_images`` call, whose scenes pipeline uploads/compute/downloads
+    (`infer/fused_ensemble.py::predict_masks_many`).  Falls back to per-image
+    calls for pipelines without ``predict_images``.
+    """
+
+    def __init__(self, pipeline, max_batch: int = 16):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self._queue: List[_Job] = []
+        self._cv = threading.Condition()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def predict(self, image):
+        job = _Job(image)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("batcher closed")
+            self._queue.append(job)
+            self._cv.notify()
+        job.event.wait()
+        if job.error is not None:
+            raise job.error
+        return job.result
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._queue:
+                    return
+                jobs, self._queue = (
+                    self._queue[: self.max_batch],
+                    self._queue[self.max_batch:],
+                )
+            try:
+                if len(jobs) > 1 and hasattr(self.pipeline, "predict_images"):
+                    results = self.pipeline.predict_images(
+                        [j.image for j in jobs]
+                    )
+                    for job, res in zip(jobs, results):
+                        job.result = res
+                else:
+                    for job in jobs:
+                        job.result = self.pipeline.predict_image(job.image)
+            except BaseException as e:  # propagate to every waiter in the batch
+                for job in jobs:
+                    if job.result is None:
+                        job.error = e
+            finally:
+                for job in jobs:
+                    job.event.set()
 
 
 class DetectionService:
@@ -73,11 +165,28 @@ class DetectionService:
         self.result_dir = os.path.join(root_dir, cfg.serve.result_dir)
         os.makedirs(self.receive_dir, exist_ok=True)
         os.makedirs(self.result_dir, exist_ok=True)
-        self._lock = threading.Lock()
+        self._dir_lock = threading.Lock()
+        self._batcher = _MicroBatcher(pipeline)
 
     @staticmethod
     def _ng(error: str) -> dict:
         return {"status": "NG", "data": None, "points": {}, "error": str(error)}
+
+    def _user_dir(self, client_id: str) -> str:
+        """Per-client result dir (`buildAPI.py:86-92`) — traversal-proof.
+
+        The reference trusts the clientID header verbatim in a path join; a
+        hostile ID like ``../..`` would have let a network client recursively
+        delete arbitrary directories.  IDs are restricted to the charset the
+        reference's own client emits (`CLient/Client.py:8-24`).
+        """
+        if not _CLIENT_ID_RE.match(client_id) or client_id in (".", ".."):
+            raise ValueError(f"invalid clientID {client_id!r}")
+        user_path = os.path.join(self.result_dir, client_id)
+        root = os.path.realpath(self.result_dir)
+        if os.path.commonpath([root, os.path.realpath(user_path)]) != root:
+            raise ValueError(f"invalid clientID {client_id!r}")
+        return user_path
 
     def handle_photo(
         self, client_id: Optional[str], filename: Optional[str], payload: Optional[bytes]
@@ -89,19 +198,23 @@ class DetectionService:
             if not filename:
                 return self._ng("传入的图片名字为空")
             client_id = client_id or "anonymous"
-            user_path = os.path.join(self.result_dir, client_id)
-            if os.path.exists(user_path):
-                shutil.rmtree(user_path)  # del_file per request (buildAPI.py:92)
-            os.makedirs(user_path, exist_ok=True)
+            user_path = self._user_dir(client_id)
+            with self._dir_lock:
+                if os.path.exists(user_path):
+                    shutil.rmtree(user_path)  # del_file per request (buildAPI.py:92)
+                os.makedirs(user_path, exist_ok=True)
 
-            # save the upload (buildAPI.py:104-109)
-            file_path = os.path.join(self.receive_dir, os.path.basename(filename))
+            # save the upload (buildAPI.py:104-109) under a per-request
+            # unique name so concurrent same-named uploads can't collide
+            base = os.path.basename(filename) or "upload"
+            file_path = os.path.join(
+                self.receive_dir, f"{uuid.uuid4().hex[:8]}_{base}"
+            )
             with open(file_path, "wb") as f:
                 f.write(payload)
 
-            with self._lock:
-                image = uio.imread_rgb(file_path)
-                result = self.pipeline.predict_image(image)
+            image = uio.imread_rgb(file_path)
+            result = self._batcher.predict(image)
 
             result_path = os.path.join(user_path, "result.png")
             uio.imwrite(result_path, result.fused)

@@ -52,6 +52,14 @@ class TestMultipart:
         fields = parse_multipart(body, ctype)
         assert fields["file"] == ("a.png", b"\x89PNG123")
 
+    def test_trailing_newlines_preserved(self):
+        """Only the single boundary CRLF is stripped; payloads that end in
+        newline bytes (TIFF/BMP/text) survive intact."""
+        payload = b"data ends in newlines\r\n\r\n\n"
+        body, ctype = bdt_client.encode_multipart("file", "a.bin", payload)
+        fields = parse_multipart(body, ctype)
+        assert fields["file"] == ("a.bin", payload)
+
 
 class TestPhotoEndpoint:
     def test_success_contract(self, server):
@@ -75,9 +83,10 @@ class TestPhotoEndpoint:
         back = uio.imread_gray(str(tmp_path / "result_back.png"))
         assert back.shape == (32, 32)
         assert set(np.unique(back)) <= {0, 255}
-        # per-client result dir, upload saved (buildAPI.py:86-109)
+        # per-client result dir, upload saved (buildAPI.py:86-109); the
+        # upload name gets a unique prefix (concurrent same-name uploads)
         assert (tmp_path / "all_result" / "10_0_0_1" / "result.png").exists()
-        assert (tmp_path / "receive_file" / "up.png").exists()
+        assert list((tmp_path / "receive_file").glob("*_up.png"))
 
     def test_missing_file_is_ng(self, server):
         import urllib.request
@@ -131,6 +140,80 @@ class TestPointsFormat:
         corners = [[[1, 2, 1], [3, 4, 3]], [[9, 9], [8, 8]]]
         d = uio.points_dict(corners)
         assert d == {"0": "1,3 2,4 1,3 ", "1": "9,8 9,8 "}
+
+
+class TestClientIdSafety:
+    """The reference joins the clientID header into a path unchecked
+    (buildAPI.py:86-92); the rebuild validates it before any rmtree."""
+
+    @pytest.mark.parametrize(
+        "cid", ["../..", "..", ".", "/etc", "a/b", "a\\b", "x y", ""]
+    )
+    def test_hostile_client_id_is_ng(self, tmp_path, cid):
+        service = DetectionService(StubPipeline(), Config(), root_dir=str(tmp_path))
+        canary = tmp_path.parent / "canary.txt"
+        canary.write_text("alive")
+        resp = service.handle_photo(cid or "/", "a.png", b"payload")
+        assert resp["status"] == "NG"
+        assert "invalid clientID" in resp["error"]
+        assert canary.exists()
+
+    def test_ip_derived_ids_pass_validation(self, tmp_path):
+        service = DetectionService(StubPipeline(), Config(), root_dir=str(tmp_path))
+        # the reference client derives IDs like 192_168_0_1 (CLient/Client.py:8-24)
+        service._user_dir("192_168_0_1")
+        service._user_dir("user-1.a_b")
+
+
+class TestMicroBatcher:
+    def test_concurrent_requests_coalesce(self):
+        """Queued-up requests drain into ONE predict_images call."""
+        import concurrent.futures
+        import time
+
+        from building_detection_tpu.serve.server import _MicroBatcher
+
+        calls = []
+        gate = threading.Event()
+
+        class SlowBatchPipeline:
+            def predict_image(self, image):
+                gate.wait(10)
+                calls.append(1)
+                return ("one", image.sum())
+
+            def predict_images(self, images):
+                gate.wait(10)
+                calls.append(len(images))
+                return [("many", img.sum()) for img in images]
+
+        batcher = _MicroBatcher(SlowBatchPipeline())
+        with concurrent.futures.ThreadPoolExecutor(5) as ex:
+            futs = [
+                ex.submit(batcher.predict, np.full((2, 2), i))
+                for i in range(5)
+            ]
+            time.sleep(0.2)  # let all five enqueue while the worker blocks
+            gate.set()
+            results = [f.result(timeout=10) for f in futs]
+        batcher.close()
+        # every caller got ITS image's result back
+        assert [r[1] for r in results] == [4 * i for i in range(5)]
+        # fewer device calls than requests => coalescing happened
+        assert len(calls) < 5
+        assert any(c > 1 for c in calls)
+
+    def test_batch_error_propagates_to_all_waiters(self):
+        from building_detection_tpu.serve.server import _MicroBatcher
+
+        class FailingPipeline:
+            def predict_image(self, image):
+                raise RuntimeError("boom")
+
+        batcher = _MicroBatcher(FailingPipeline())
+        with pytest.raises(RuntimeError, match="boom"):
+            batcher.predict(np.zeros((2, 2)))
+        batcher.close()
 
 
 class TestConcurrentRequests:
