@@ -168,6 +168,11 @@ def init(
         }
 
     params = jax.jit(materialize)(rng)
+    # jit flattens dict outputs in sorted-key order; restore CONSTRUCTION
+    # order (the tape's insertion order) — the Keras .h5 importer's
+    # order-based fallback depends on it to disambiguate shape-identical
+    # layers (e.g. the 16 Xception middle-flow blocks, v3plus.py:239-252).
+    params = {name: params[name] for name in scope.params}
     state = {
         name: spec.init_fn(None, spec.shape, dtype)
         for name, spec in scope.state.items()

@@ -40,8 +40,10 @@ class PredictResult:
 class Pipeline:
     """End-to-end detector with all five models resident on device.
 
-    ``weights`` maps model name -> checkpoint path (``.npz`` from
-    :mod:`building_detection_tpu.train.checkpoint`); missing entries fall
+    ``weights`` maps model name -> checkpoint path: ``.npz`` from
+    :mod:`building_detection_tpu.train.checkpoint`, or a reference-format
+    Keras ``.h5`` (imported strictly; see ``import_h5_weights``).  Missing
+    entries fall
     back to randomly initialised weights (useful for shape/throughput work,
     and mirrors the reference's swallow-the-load-error behaviour,
     `predict.py:17-54` — except we *say* so loudly).
@@ -57,6 +59,7 @@ class Pipeline:
         seed: int = 0,
         fused: bool = True,
         mesh=None,
+        h5_strict: bool = True,
     ):
         """``fused=True`` traces the whole ensemble into one XLA program per
         scene shape (bit-identical to per-model execution, fewer dispatches,
@@ -67,7 +70,26 @@ class Pipeline:
         for i, name in enumerate(models):
             fn = MODEL_REGISTRY[name]
             if name in weights:
-                params, state, _, _, _ = load_variables(weights[name])
+                path = weights[name]
+                if path.endswith((".h5", ".hdf5")):
+                    # reference-format Keras checkpoint (predict.py:17-54);
+                    # strict: a half-matched import raises instead of
+                    # silently predicting from leftover random init
+                    from building_detection_tpu.train.checkpoint import (
+                        import_h5_weights,
+                    )
+
+                    params, state = init_model(
+                        name,
+                        jax.random.key(seed + i),
+                        (1, cfg.tiler.tile, cfg.tiler.tile, 3),
+                    )
+                    params, state, report = import_h5_weights(
+                        path, params, state, strict=h5_strict
+                    )
+                    print(f"[pipeline] {name}: {report.summary()}")
+                else:
+                    params, state, _, _, _ = load_variables(path)
                 params = {k: jnp.asarray(v) for k, v in params.items()}
                 state = {k: jnp.asarray(v) for k, v in state.items()}
             else:

@@ -8,6 +8,7 @@ resumes exactly (SURVEY.md section 5 "Checkpoint / resume").
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from typing import Any, Dict, Optional, Tuple
@@ -85,68 +86,197 @@ def load_variables(
 
 
 # ---------------------------------------------------------------------------
-# Keras .h5 importer (weight parity with reference checkpoints)
+# Keras .h5 import/export (weight parity with reference checkpoints)
 # ---------------------------------------------------------------------------
-_KERAS_TO_OURS = {
-    "kernel:0": "kernel",
-    "bias:0": "bias",
-    "gamma:0": "gamma",
-    "beta:0": "beta",
-    "moving_mean:0": "moving_mean",
-    "moving_variance:0": "moving_variance",
-    "depthwise_kernel:0": "depthwise_kernel",
-    "pointwise_kernel:0": "pointwise_kernel",
-}
+_STATE_SUFFIXES = ("moving_mean", "moving_variance")
+
+
+def _decode(n):
+    return n.decode() if isinstance(n, bytes) else n
+
+
+@dataclasses.dataclass
+class H5ImportReport:
+    """What an .h5 import actually did — a half-loaded parity checkpoint
+    silently producing garbage masks is worse than a loud failure."""
+
+    matched_by_name: int = 0
+    matched_by_order: int = 0
+    unmatched_ours: list = dataclasses.field(default_factory=list)
+    leftover_h5: list = dataclasses.field(default_factory=list)
+    shape_conflicts: list = dataclasses.field(default_factory=list)
+
+    @property
+    def complete(self) -> bool:
+        return not (self.unmatched_ours or self.leftover_h5 or self.shape_conflicts)
+
+    def summary(self) -> str:
+        lines = [
+            f"h5 import: {self.matched_by_name} matched by name, "
+            f"{self.matched_by_order} by order"
+        ]
+        if self.shape_conflicts:
+            lines.append(
+                f"  SHAPE CONFLICTS ({len(self.shape_conflicts)}): "
+                + ", ".join(f"{k} ours{o} != h5{h}" for k, o, h in self.shape_conflicts[:10])
+            )
+        if self.unmatched_ours:
+            lines.append(
+                f"  UNMATCHED TARGET PARAMS ({len(self.unmatched_ours)}, left at "
+                "previous values): " + ", ".join(self.unmatched_ours[:10])
+                + ("..." if len(self.unmatched_ours) > 10 else "")
+            )
+        if self.leftover_h5:
+            lines.append(
+                f"  LEFTOVER H5 WEIGHTS ({len(self.leftover_h5)}, dropped): "
+                + ", ".join(self.leftover_h5[:10])
+                + ("..." if len(self.leftover_h5) > 10 else "")
+            )
+        return "\n".join(lines)
+
+
+def _read_h5_entries(h5_path: str):
+    """Ordered ``(layer_name, suffix, full_name, array)`` from a Keras
+    weights file.  Layer order comes from the ``layer_names`` attribute
+    (Keras writes it in model.layers order); weight order within a layer
+    from ``weight_names`` (trainable then non-trainable)."""
+    import h5py  # gated: only needed for parity imports
+
+    entries = []
+    with h5py.File(h5_path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+        layer_names = [
+            _decode(n) for n in root.attrs.get("layer_names", list(root.keys()))
+        ]
+        for lname in layer_names:
+            g = root[lname]
+            for wn in g.attrs.get("weight_names", []):
+                wn = _decode(wn)
+                arr = np.asarray(g[wn])
+                suffix = wn.rsplit("/", 1)[-1].split(":")[0]
+                # Keras prefixes weight paths with the layer scope; the
+                # layer name in the path is authoritative for name matching
+                layer = wn.rsplit("/", 2)[-2] if "/" in wn else lname
+                entries.append((layer, suffix, f"{lname}/{wn}", arr))
+    return entries
 
 
 def import_h5_weights(
-    h5_path: str, params: dict, state: dict
-) -> Tuple[dict, dict]:
-    """Map a Keras weights-only ``.h5`` onto our pytrees by ordered shape
-    matching.
+    h5_path: str, params: dict, state: dict, strict: bool = True
+) -> Tuple[dict, dict, H5ImportReport]:
+    """Map a Keras weights-only ``.h5`` onto our pytrees.
 
-    The reference loads hand-picked epochs' ``.h5`` files
-    (`/root/reference/predict.py:21-49`).  Keras stores per-layer weight
-    lists under ``model_weights/<layer>/<layer>/<weight>:0``; our module
-    system names parameters in construction order with the same Keras
-    conventions, so matching by (order, shape) is well-defined.  Transposed
-    convolutions keep TF's (kh, kw, out, in) layout, so arrays transfer
-    without transposition.
+    The reference's entire deployment story is loading hand-picked epochs'
+    ``.h5`` files (`/root/reference/predict.py:17-54`).  Matching runs in two
+    passes:
+
+    1. **by name** — our module system reproduces Keras auto-naming
+       (``conv2d_5/kernel`` ↔ ``conv2d_5/kernel:0``), so checkpoints written
+       with fresh per-model name counters (the reference trains one model per
+       process, `train_model/*.py`) match exactly;
+    2. **by order** — anything left matches by (suffix, shape) in stored
+       order against our *construction* order, which is how Keras'
+       ``load_weights`` itself resolves an .h5 (topological order, names not
+       required).  This disambiguates shape-identical stacks like the 16
+       Xception middle-flow blocks (`v3plus.py:239-252`).
+
+    Transposed convolutions keep TF's (kh, kw, out, in) layout, so arrays
+    transfer without transposition.
+
+    ``strict=True`` (default) raises unless every target parameter was
+    assigned and every h5 weight consumed; ``strict=False`` leaves unmatched
+    targets at their previous values and returns the report for inspection.
     """
-    import h5py  # gated: only needed for parity imports
-
+    entries = _read_h5_entries(h5_path)
     new_params = dict(params)
     new_state = dict(state)
-    with h5py.File(h5_path, "r") as f:
-        root = f["model_weights"] if "model_weights" in f else f
-        layer_names = [n.decode() if isinstance(n, bytes) else n
-                       for n in root.attrs.get("layer_names", list(root.keys()))]
-        h5_weights = []  # ordered (suffix, array)
-        for lname in layer_names:
-            g = root[lname]
-            wnames = g.attrs.get("weight_names", [])
-            for wn in wnames:
-                wn = wn.decode() if isinstance(wn, bytes) else wn
-                arr = np.asarray(g[wn])
-                suffix = wn.rsplit("/", 1)[-1]
-                h5_weights.append((_KERAS_TO_OURS.get(suffix, suffix), arr))
+    report = H5ImportReport()
 
     ours = [(k, "params") for k in params] + [(k, "state") for k in state]
+    targets = {**{k: params[k] for k in params}, **{k: state[k] for k in state}}
 
-    def suffix_of(key):
-        return key.rsplit("/", 1)[-1]
+    def assign(key, kind, arr):
+        target = targets[key]
+        if kind == "params":
+            new_params[key] = arr.astype(np.asarray(target).dtype)
+        else:
+            new_state[key] = arr.astype(np.asarray(target).dtype)
 
-    # consume h5 weights in order, matching by suffix + shape
-    queue = list(h5_weights)
+    # pass 1: exact name matching
+    by_name = {}
+    for idx, (layer, suffix, full, arr) in enumerate(entries):
+        by_name.setdefault(f"{layer}/{suffix}", idx)
+    consumed = set()
+    deferred = []
     for key, kind in ours:
-        want = suffix_of(key)
-        target = params[key] if kind == "params" else state[key]
-        for i, (suf, arr) in enumerate(queue):
-            if suf == want and tuple(arr.shape) == tuple(np.shape(target)):
-                if kind == "params":
-                    new_params[key] = arr.astype(np.asarray(target).dtype)
-                else:
-                    new_state[key] = arr.astype(np.asarray(target).dtype)
-                queue.pop(i)
+        idx = by_name.get(key)
+        if idx is not None and idx not in consumed:
+            arr = entries[idx][3]
+            if tuple(arr.shape) == tuple(np.shape(targets[key])):
+                assign(key, kind, arr)
+                consumed.add(idx)
+                report.matched_by_name += 1
+            else:
+                report.shape_conflicts.append(
+                    (key, tuple(np.shape(targets[key])), tuple(arr.shape))
+                )
+        else:
+            deferred.append((key, kind))
+
+    # pass 2: ordered (suffix, shape) matching for the remainder
+    for key, kind in deferred:
+        want = key.rsplit("/", 1)[-1]
+        shape = tuple(np.shape(targets[key]))
+        for idx, (layer, suffix, full, arr) in enumerate(entries):
+            if idx in consumed:
+                continue
+            if suffix == want and tuple(arr.shape) == shape:
+                assign(key, kind, arr)
+                consumed.add(idx)
+                report.matched_by_order += 1
                 break
-    return new_params, new_state
+        else:
+            report.unmatched_ours.append(key)
+
+    report.leftover_h5 = [
+        full for idx, (_, _, full, _) in enumerate(entries) if idx not in consumed
+    ]
+    if strict and not report.complete:
+        raise ValueError(f"strict .h5 import failed for {h5_path}:\n{report.summary()}")
+    return new_params, new_state, report
+
+
+def export_h5_weights(path: str, params: dict, state: dict) -> None:
+    """Write our pytrees as a Keras-layout weights-only ``.h5``.
+
+    Reproduces what ``model.save_weights`` emits for the reference models
+    (the format `predict.py:17-54` consumes): root attr ``layer_names`` in
+    model.layers (= construction) order; per-layer group with a
+    ``weight_names`` attribute listing ``<layer>/<weight>:0`` paths,
+    trainable weights first then non-trainable (BN moving statistics) —
+    letting the importer's round-trip be exercised without TensorFlow.
+    """
+    import h5py
+
+    def layer_of(key):
+        return key.rsplit("/", 1)[0]
+
+    # layer order = first appearance in construction-ordered params, then
+    # any state-only layers in state order
+    layer_weights: Dict[str, list] = {}
+    for key, arr in params.items():
+        layer_weights.setdefault(layer_of(key), []).append((key, arr))
+    for key, arr in state.items():
+        layer_weights.setdefault(layer_of(key), []).append((key, arr))
+
+    with h5py.File(path, "w") as f:
+        f.attrs["layer_names"] = [ln.encode() for ln in layer_weights]
+        f.attrs["backend"] = b"tensorflow"
+        for lname, weights in layer_weights.items():
+            g = f.create_group(lname)
+            wnames = []
+            for key, arr in weights:
+                wn = f"{key}:0"  # "<layer>/<weight>:0"
+                wnames.append(wn.encode())
+                g.create_dataset(wn, data=np.asarray(arr))
+            g.attrs["weight_names"] = wnames

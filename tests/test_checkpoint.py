@@ -88,7 +88,50 @@ class TestH5Import:
         path = str(tmp_path / "w.h5")
         write_keras_h5(path, layers)
 
-        new_params, new_state = ckpt.import_h5_weights(path, params, state)
+        new_params, new_state, report = ckpt.import_h5_weights(path, params, state)
+        assert report.complete
+        for k in params:
+            np.testing.assert_array_equal(new_params[k], fake[k])
+        for k in state:
+            np.testing.assert_array_equal(new_state[k], fake[k])
+
+    def test_name_mismatch_falls_back_to_order(self, tmp_path):
+        """An .h5 whose name counters are offset (Keras counters are global
+        per process, so a model built second gets conv2d_7...) still imports
+        via ordered (suffix, shape) matching — the same resolution Keras'
+        own load_weights uses."""
+        params, state = init_small()
+        rng = np.random.RandomState(1)
+        fake = {
+            k: rng.randn(*np.shape(v)).astype(np.float32)
+            for k, v in {**params, **state}.items()
+        }
+        # same construction order, all layer names offset
+        layers = [
+            ("conv2d_7", [
+                ("conv2d_7/kernel:0", fake["conv2d/kernel"]),
+                ("conv2d_7/bias:0", fake["conv2d/bias"]),
+            ]),
+            ("batch_normalization_3", [
+                ("batch_normalization_3/gamma:0", fake["batch_normalization/gamma"]),
+                ("batch_normalization_3/beta:0", fake["batch_normalization/beta"]),
+                ("batch_normalization_3/moving_mean:0", fake["batch_normalization/moving_mean"]),
+                ("batch_normalization_3/moving_variance:0", fake["batch_normalization/moving_variance"]),
+            ]),
+            ("conv2d_transpose_2", [
+                ("conv2d_transpose_2/kernel:0", fake["conv2d_transpose/kernel"]),
+                ("conv2d_transpose_2/bias:0", fake["conv2d_transpose/bias"]),
+            ]),
+            ("separable_conv2d_4", [
+                ("separable_conv2d_4/depthwise_kernel:0", fake["separable_conv2d/depthwise_kernel"]),
+                ("separable_conv2d_4/pointwise_kernel:0", fake["separable_conv2d/pointwise_kernel"]),
+                ("separable_conv2d_4/bias:0", fake["separable_conv2d/bias"]),
+            ]),
+        ]
+        path = str(tmp_path / "w.h5")
+        write_keras_h5(path, layers)
+        new_params, new_state, report = ckpt.import_h5_weights(path, params, state)
+        assert report.complete and report.matched_by_order > 0
         for k in params:
             np.testing.assert_array_equal(new_params[k], fake[k])
         for k in state:
@@ -103,6 +146,120 @@ class TestH5Import:
                                     np.full((3, 3, 3, 4), 0.5, np.float32))])]
         path = str(tmp_path / "w.h5")
         write_keras_h5(path, fake_layers)
-        new_params, new_state = ckpt.import_h5_weights(path, params, state)
+        new_params, new_state, report = ckpt.import_h5_weights(
+            path, params, state, strict=False
+        )
         after, _ = M.apply(small_model, new_params, new_state, x)
         assert not np.allclose(np.asarray(before), np.asarray(after))
+
+    def test_strict_raises_on_partial_h5(self, tmp_path):
+        """A half-matching import must fail loudly, not half-load."""
+        params, state = init_small()
+        fake_layers = [("conv2d", [("conv2d/kernel:0",
+                                    np.full((3, 3, 3, 4), 0.5, np.float32))])]
+        path = str(tmp_path / "w.h5")
+        write_keras_h5(path, fake_layers)
+        with pytest.raises(ValueError, match="UNMATCHED TARGET"):
+            ckpt.import_h5_weights(path, params, state, strict=True)
+
+    def test_strict_raises_on_leftover_h5(self, tmp_path):
+        params, state = init_small()
+        ckpt.export_h5_weights(str(tmp_path / "w.h5"), params, state)
+        import h5py
+
+        with h5py.File(str(tmp_path / "w.h5"), "a") as f:
+            g = f.create_group("conv2d_99")
+            g.create_dataset("conv2d_99/kernel:0", data=np.zeros((9, 9, 9, 9), np.float32))
+            g.attrs["weight_names"] = [b"conv2d_99/kernel:0"]
+            old = [
+                n.encode() if isinstance(n, str) else n
+                for n in f.attrs["layer_names"]
+            ]
+            f.attrs["layer_names"] = old + [b"conv2d_99"]
+        with pytest.raises(ValueError, match="LEFTOVER H5"):
+            ckpt.import_h5_weights(str(tmp_path / "w.h5"), params, state, strict=True)
+
+    def test_nonstrict_reports_unmatched(self, tmp_path):
+        params, state = init_small()
+        fake_layers = [("conv2d", [("conv2d/kernel:0",
+                                    np.full((3, 3, 3, 4), 0.5, np.float32))])]
+        path = str(tmp_path / "w.h5")
+        write_keras_h5(path, fake_layers)
+        _, _, report = ckpt.import_h5_weights(path, params, state, strict=False)
+        assert not report.complete
+        assert "conv2d/bias" in report.unmatched_ours
+        assert report.matched_by_name == 1
+
+
+class TestH5RoundTripZoo:
+    """VERDICT round-1 item 3: executable evidence for the .h5 path on every
+    zoo model — export known pytrees in the Keras layout, import into a
+    fresh random init, demand bit-equality and identical forwards."""
+
+    @pytest.mark.parametrize("name", ["res34", "hrnet", "v3plus", "scse", "bam"])
+    def test_roundtrip_and_forward_equality(self, tmp_path, name):
+        import jax
+
+        from building_detection_tpu.models.registry import MODEL_REGISTRY, init_model
+
+        src_params, src_state = init_model(name, jax.random.key(7), (1, 32, 32, 3))
+        path = str(tmp_path / f"{name}.h5")
+        ckpt.export_h5_weights(
+            path,
+            {k: np.asarray(v) for k, v in src_params.items()},
+            {k: np.asarray(v) for k, v in src_state.items()},
+        )
+        tgt_params, tgt_state = init_model(name, jax.random.key(8), (1, 32, 32, 3))
+        got_params, got_state, report = ckpt.import_h5_weights(
+            path, tgt_params, tgt_state, strict=True
+        )
+        assert report.complete
+        assert report.matched_by_name == len(src_params) + len(src_state)
+        for k in src_params:
+            np.testing.assert_array_equal(got_params[k], np.asarray(src_params[k]))
+        for k in src_state:
+            np.testing.assert_array_equal(got_state[k], np.asarray(src_state[k]))
+        # forward equality with the source twin
+        fn = MODEL_REGISTRY[name]
+        x = jax.random.uniform(jax.random.key(9), (1, 32, 32, 3), minval=-1, maxval=1)
+        f = jax.jit(lambda p, s, xx: M.apply(fn, p, s, xx)[0])
+        y_src = np.asarray(f(src_params, src_state, x))
+        y_got = np.asarray(f(
+            {k: jnp.asarray(v) for k, v in got_params.items()},
+            {k: jnp.asarray(v) for k, v in got_state.items()},
+            x,
+        ))
+        np.testing.assert_array_equal(y_src, y_got)
+
+    def test_shape_ambiguous_stack_resolves_by_order(self, tmp_path):
+        """The 16 shape-identical Xception middle-flow blocks
+        (`v3plus.py:239-252`) must land on the right targets even when NO
+        names match (order-based fallback)."""
+        import h5py
+        import jax
+
+        from building_detection_tpu.models.registry import init_model
+
+        src_params, src_state = init_model("v3plus", jax.random.key(3), (1, 32, 32, 3))
+        src_params = {k: np.asarray(v) for k, v in src_params.items()}
+        src_state = {k: np.asarray(v) for k, v in src_state.items()}
+        src_h5 = str(tmp_path / "v3plus_src.h5")
+        ckpt.export_h5_weights(src_h5, src_params, src_state)
+        # rewrite with every layer renamed (simulating Keras' global name
+        # counters being offset) but construction order preserved
+        renamed = {}
+        for layer, suffix, _full, arr in ckpt._read_h5_entries(src_h5):
+            renamed.setdefault(f"x_{layer}", []).append(
+                (f"x_{layer}/{suffix}:0", arr)
+            )
+        path = str(tmp_path / "v3plus_renamed.h5")
+        write_keras_h5(path, list(renamed.items()))
+        tgt_params, tgt_state = init_model("v3plus", jax.random.key(4), (1, 32, 32, 3))
+        got_params, got_state, report = ckpt.import_h5_weights(
+            path, tgt_params, tgt_state, strict=True
+        )
+        assert report.complete and report.matched_by_name == 0
+        for k in src_params:
+            np.testing.assert_array_equal(got_params[k], src_params[k])
+        for k in src_state:
+            np.testing.assert_array_equal(got_state[k], src_state[k])
