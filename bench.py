@@ -3,7 +3,7 @@
 Run on the real TPU chip (the default backend in this image).  Prints ONE
 JSON line::
 
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
 ``vs_baseline`` is the speedup over the reference-style CPU ensemble: the
 same five architectures driven one tile per predict call in float32 on the
@@ -12,8 +12,12 @@ host CPU (the reference's execution model, `/root/reference/predict.py:105-113`
 BASELINE.md).  Re-measure with ``BDT_BENCH_CPU_BASELINE=measure``; otherwise
 the constant below (measured on this host, see BASELINE.md) is used.
 
-Env knobs: BDT_BENCH_BATCH (default 8), BDT_BENCH_ITERS (default 10),
-BDT_BENCH_MODELS (default all five).
+Extra keys: ``tflops`` (achieved, from XLA cost analysis) and ``mfu``
+(fraction of BDT_PEAK_FLOPS, default v5e bf16 peak 197e12).
+
+Env knobs: BDT_BENCH_MODE (scene|scene_mixed|ensemble|train),
+BDT_BENCH_BATCH (default 36), BDT_BENCH_ITERS (default 10),
+BDT_BENCH_MODELS (default all five), BDT_BENCH_TRAIN_BATCH (default 32).
 """
 from __future__ import annotations
 
@@ -27,6 +31,20 @@ import time
 CPU_BASELINE_TILES_PER_SEC = float(
     os.environ.get("BDT_CPU_BASELINE_TPS", "0.0149")
 )
+
+# bf16 peak of one TPU v5e chip; override for other hardware.
+PEAK_FLOPS = float(os.environ.get("BDT_PEAK_FLOPS", "197e12"))
+
+
+def _flops_of(compiled) -> float:
+    """Total FLOPs of a compiled XLA executable (0.0 if unavailable)."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):  # older jax returns one dict per device
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def _build(names, batch, dtype):
@@ -49,7 +67,7 @@ def _build(names, batch, dtype):
     return members
 
 
-def measure_ensemble(names, batch, iters, dtype) -> float:
+def measure_ensemble(names, batch, iters, dtype):
     """Ensemble tiles/sec: each tile goes through all five models."""
     import jax
     import jax.numpy as jnp
@@ -62,15 +80,19 @@ def measure_ensemble(names, batch, iters, dtype) -> float:
     # warmup (compile); NOTE: on the tunneled axon backend block_until_ready
     # does not await execution — a host fetch is the only real sync, so all
     # timing here flushes via np.asarray.
+    flops_per_batch = 0.0
     for _, fwd, params, state in members:
         np.asarray(fwd(params, state, x))
+        # persistent compile cache makes this second lower+compile cheap
+        flops_per_batch += _flops_of(fwd.lower(params, state, x).compile())
     t0 = time.perf_counter()
     for _ in range(iters):
         for _, fwd, params, state in members:
             out = fwd(params, state, x)
     np.asarray(out)  # device executes FIFO: fetching the last result flushes all
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    tps = batch * iters / dt
+    return tps, tps * flops_per_batch / max(batch, 1)
 
 
 def measure_cpu_baseline(names) -> float:
@@ -94,13 +116,10 @@ def measure_cpu_baseline(names) -> float:
         return 1.0 / (time.perf_counter() - t0)
 
 
-def measure_scene(names, batch, iters, dtype) -> float:
-    """End-to-end fused-ensemble scene throughput: pad + gather + 5 forwards
-    + argmax + scatter-OR, one program, on a 2048x2048 scene (36 tiles)."""
+def _build_fused(names, batch, dtype, bucket_sizes=False):
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
+    from building_detection_tpu.core.config import TilerConfig
     from building_detection_tpu.infer.fused_ensemble import FusedEnsemblePredictor
     from building_detection_tpu.models.registry import MODEL_REGISTRY, init_model
 
@@ -108,25 +127,76 @@ def measure_scene(names, batch, iters, dtype) -> float:
     for i, name in enumerate(names):
         params, state = init_model(name, jax.random.key(i), (1, 512, 512, 3))
         members[name] = (MODEL_REGISTRY[name], params, state)
-    pred = FusedEnsemblePredictor(
-        members, batch_tiles=batch, compute_dtype=dtype
-    )
+    cfg = TilerConfig(bucket_sizes=bucket_sizes)
+    return FusedEnsemblePredictor(members, cfg, batch_tiles=batch, compute_dtype=dtype)
+
+
+def measure_scene(names, batch, iters, dtype):
+    """End-to-end fused-ensemble scene throughput: pad + gather + 5 forwards
+    + argmax + scatter-OR, one program, on 2048x2048 scenes."""
+    import numpy as np
+
+    from building_detection_tpu.ops import tiling as T
+
+    pred = _build_fused(names, batch, dtype)
     rng = np.random.RandomState(0)
     scenes = [
         rng.randint(0, 256, (2048, 2048, 3), np.uint8) for _ in range(iters)
     ]
     pred.predict_masks(scenes[0])  # compile
-    n_tiles = 36  # ceil((2048-152)/360)^2 = 6x6
+    plan = T.plan_tiles(2048, 2048, pred.cfg)
+    n_tiles = plan.num_tiles
+    flops_per_scene = _flops_of_scene(pred, scenes[0], plan)
     t0 = time.perf_counter()
     # pipelined: scene uploads/downloads overlap compute via the FIFO queue
     pred.predict_masks_many(scenes)
     dt = time.perf_counter() - t0
-    return n_tiles * iters / dt
+    tps = n_tiles * iters / dt
+    return tps, flops_per_scene * iters / dt
 
 
-def measure_train(model_name: str, batch: int, iters: int) -> float:
-    """Training images/sec for one model (DP over all local devices):
-    the full jitted step incl. on-device edge-weight maps, fwd+bwd, adam."""
+def _flops_of_scene(pred, scene, plan) -> float:
+    """Cost analysis of the (already compiled+cached) per-scene program."""
+    try:
+        fn, staged = pred._stage(scene, plan)
+        return _flops_of(fn.lower(pred.params, pred.states, *staged).compile())
+    except Exception:
+        return 0.0
+
+
+def measure_scene_mixed(names, batch, iters, dtype):
+    """Mixed-size scenes under bucketed tiling: arbitrary scene sizes reuse a
+    handful of XLA programs (`ops/tiling.py::bucket_plan`).  Throughput is
+    counted in REAL (non-padded) tiles, so bucket padding is paid, not hidden."""
+    import numpy as np
+
+    from building_detection_tpu.ops import tiling as T
+
+    pred = _build_fused(names, batch, dtype, bucket_sizes=True)
+    rng = np.random.RandomState(0)
+    sizes = [(1024, 1536), (2048, 2048), (1400, 900), (2500, 1100)]
+    scenes = [
+        rng.randint(0, 256, (h, w, 3), np.uint8)
+        for h, w in (sizes * ((iters + len(sizes) - 1) // len(sizes)))[:iters]
+    ]
+    for h, w in sorted({s.shape[:2] for s in scenes}):  # compile each bucket
+        pred.predict_masks(np.zeros((h, w, 3), np.uint8))
+    n_tiles = sum(
+        T.plan_tiles(s.shape[0], s.shape[1], pred.cfg).num_tiles for s in scenes
+    )
+    t0 = time.perf_counter()
+    pred.predict_masks_many(scenes)
+    dt = time.perf_counter() - t0
+    return n_tiles / dt, None
+
+
+def measure_train(model_name: str, batch: int, iters: int):
+    """Training images/sec for one model: dataset staged in HBM once, one
+    scanned dispatch per epoch (fwd+bwd+adam+on-device edge maps per step).
+
+    Round 1 measured 13.1 img/s at batch 8 with a blocking metrics fetch and
+    a fresh 6.3 MB upload every step; the staged path removes both, so this
+    measures what the chip itself sustains."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -135,17 +205,25 @@ def measure_train(model_name: str, batch: int, iters: int) -> float:
 
     cfg = TrainConfig(batch_size=batch)
     trainer = Trainer(
-        model_name, cfg, steps_per_epoch=100, compute_dtype=jnp.bfloat16
+        model_name, cfg, steps_per_epoch=iters, compute_dtype=jnp.bfloat16
     )
     rng = np.random.RandomState(0)
-    imgs = rng.randint(0, 256, (batch, 512, 512, 3), np.uint8)
-    labs = np.where(rng.rand(batch, 512, 512) < 0.3, 255, 0).astype(np.uint8)
-    trainer.train_on_batch(imgs, labs)  # compile (train_on_batch fetches)
+    n = batch * iters
+    imgs = rng.randint(0, 256, (n, 512, 512, 3), np.uint8)
+    labs = np.where(rng.rand(n, 512, 512) < 0.3, 255, 0).astype(np.uint8)
+    images_dev, labels_dev = trainer.stage_dataset(imgs, labs)
+    # compile + warm epoch (fetch_metrics syncs via the host fetch)
+    trainer.train_epoch_staged(images_dev, labels_dev)
+    flops_per_epoch = _flops_of(
+        trainer._epoch_fn.lower(
+            trainer.params, trainer.state, trainer.opt_state,
+            images_dev, labels_dev,
+        ).compile()
+    )
     t0 = time.perf_counter()
-    for _ in range(iters):
-        trainer.train_on_batch(imgs, labs)  # metrics fetch = real sync
+    trainer.train_epoch_staged(images_dev, labels_dev)
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    return n / dt, flops_per_epoch / dt
 
 
 def main() -> int:
@@ -170,26 +248,30 @@ def main() -> int:
 
     unit = "tiles/s"
     if mode == "scene":
-        tps = measure_scene(names, batch, iters, jnp.bfloat16)
+        tps, fps = measure_scene(names, batch, iters, jnp.bfloat16)
         metric = "ensemble_scene_512_tiles_per_sec_per_chip"
+    elif mode == "scene_mixed":
+        tps, fps = measure_scene_mixed(names, batch, iters, jnp.bfloat16)
+        metric = "ensemble_mixed_scene_512_tiles_per_sec_per_chip"
     elif mode == "train":
-        tps = measure_train(names[0], batch, iters)
+        train_batch = int(os.environ.get("BDT_BENCH_TRAIN_BATCH", "32"))
+        tps, fps = measure_train(names[0], train_batch, iters)
         metric = f"train_{names[0]}_512_images_per_sec"
         baseline = None
         unit = "images/s"
     else:
-        tps = measure_ensemble(names, batch, iters, jnp.bfloat16)
+        tps, fps = measure_ensemble(names, batch, iters, jnp.bfloat16)
         metric = "ensemble_512_tiles_per_sec_per_chip"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(tps, 3),
-                "unit": unit,
-                "vs_baseline": round(tps / baseline, 2) if baseline else None,
-            }
-        )
-    )
+    out = {
+        "metric": metric,
+        "value": round(tps, 3),
+        "unit": unit,
+        "vs_baseline": round(tps / baseline, 2) if baseline else None,
+    }
+    if fps:
+        out["tflops"] = round(fps / 1e12, 2)
+        out["mfu"] = round(fps / PEAK_FLOPS, 4)
+    print(json.dumps(out))
     return 0
 
 

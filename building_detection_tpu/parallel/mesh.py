@@ -41,6 +41,11 @@ def data_sharded(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
+def staged_sharded(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the SECOND dim (batch) of (steps, batch, ...) staged datasets."""
+    return NamedSharding(mesh, P(None, DATA_AXIS, *([None] * (ndim - 2))))
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch (leading dim divisible by |data|) onto the mesh."""
     return jax.tree_util.tree_map(

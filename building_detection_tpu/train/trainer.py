@@ -149,19 +149,53 @@ class Trainer:
             in_shardings=(rep, rep, img_sh, lab_sh),
             out_shardings=rep,
         )
+
+        # Whole-epoch runner: lax.scan over pre-staged device batches — ONE
+        # dispatch per epoch instead of one per step.  On this environment's
+        # tunneled device (and on any remote runtime) per-step dispatch +
+        # per-step metric fetches dominate at small batch sizes; the scan
+        # path removes both.  Same train_step body => identical numerics.
+        def epoch_fn(params, state, opt_state, images_all, labels_all):
+            def body(carry, batch):
+                p, s, o = carry
+                p, s, o, metrics = train_step(p, s, o, *batch)
+                return (p, s, o), metrics
+
+            (params, state, opt_state), metrics = jax.lax.scan(
+                body, (params, state, opt_state), (images_all, labels_all)
+            )
+            return params, state, opt_state, metrics
+
+        img5 = pmesh.staged_sharded(self.mesh, 5)
+        lab4 = pmesh.staged_sharded(self.mesh, 4)
+        self._epoch_fn = jax.jit(
+            epoch_fn,
+            in_shardings=(rep, rep, rep, img5, lab4),
+            out_shardings=(rep, rep, rep, rep),
+            donate_argnums=(0, 1, 2),
+        )
         # place variables on the mesh
         self.params = pmesh.replicate(self.params, self.mesh)
         self.state = pmesh.replicate(self.state, self.mesh)
         self.opt_state = pmesh.replicate(self.opt_state, self.mesh)
 
     # -- single steps ------------------------------------------------------
-    def train_on_batch(self, images_u8, labels_u8) -> Dict[str, float]:
-        batch = pmesh.shard_batch((images_u8, labels_u8), self.mesh)
+    def train_on_batch(self, images_u8, labels_u8, fetch_metrics: bool = True):
+        """One optimizer step.  ``fetch_metrics=False`` returns the metrics
+        as device arrays WITHOUT synchronising — the reference harness (and
+        round 1 of this rebuild) blocked on a metrics read every step, which
+        serialises host transfers against compute (`res34.py:673-678`)."""
+        if isinstance(images_u8, jax.Array):
+            batch = (images_u8, labels_u8)  # already staged (device_prefetch)
+        else:
+            batch = pmesh.shard_batch((images_u8, labels_u8), self.mesh)
         self.params, self.state, self.opt_state, metrics = self._train_step(
             self.params, self.state, self.opt_state, *batch
         )
         self.step += 1
-        return {k: float(v) for k, v in metrics.items()}
+        if fetch_metrics:
+            return {k: float(v) for k, v in metrics.items()}
+        return metrics
 
     def eval_on_batch(self, images_u8, labels_u8) -> Dict[str, float]:
         batch = pmesh.shard_batch((images_u8, labels_u8), self.mesh)
@@ -170,6 +204,41 @@ class Trainer:
 
     def current_lr(self) -> float:
         return float(self.schedule(self.step))
+
+    # -- staged (device-resident) epochs ------------------------------------
+    def stage_dataset(self, images_u8, labels_u8):
+        """Upload a dataset ONCE as (steps, batch, ...) device arrays.
+
+        The WHU training corpus (4,736 images, `data_enhancement.py:14`)
+        is ~4 GB as uint8 — it fits in one chip's HBM, so paying the upload
+        once and scanning epochs on device removes the per-step host->device
+        transfer entirely (the round-1 bottleneck: ~6.3 MB/step through a
+        ~20 MB/s tunnel)."""
+        b = self.cfg.batch_size
+        steps = len(images_u8) // b
+        if steps == 0:
+            raise ValueError(f"need at least one batch of {b} images")
+        n = steps * b
+        imgs = np.asarray(images_u8[:n]).reshape((steps, b) + images_u8.shape[1:])
+        labs = np.asarray(labels_u8[:n]).reshape((steps, b) + labels_u8.shape[1:])
+        return (
+            jax.device_put(imgs, pmesh.staged_sharded(self.mesh, imgs.ndim)),
+            jax.device_put(labs, pmesh.staged_sharded(self.mesh, labs.ndim)),
+        )
+
+    def train_epoch_staged(self, images_dev, labels_dev, fetch_metrics=True):
+        """Run one epoch over pre-staged batches in a single dispatch.
+
+        Returns per-step metrics stacked along the leading axis (fetched to
+        numpy when ``fetch_metrics``).  Numerics match step-by-step
+        ``train_on_batch`` exactly (same jitted body)."""
+        self.params, self.state, self.opt_state, metrics = self._epoch_fn(
+            self.params, self.state, self.opt_state, images_dev, labels_dev
+        )
+        self.step += int(images_dev.shape[0])
+        if fetch_metrics:
+            return {k: np.asarray(v) for k, v in metrics.items()}
+        return metrics
 
     # -- full fit loop ------------------------------------------------------
     def fit(
@@ -183,15 +252,27 @@ class Trainer:
     ) -> list:
         """Epoch loop mirroring ``fit_generator`` (`res34.py:673-678`) with a
         checkpoint per epoch (`res34.py:603-609`).  ``callbacks`` are
-        ``cb(trainer, epoch, metrics) -> stop`` (see train/callbacks.py)."""
+        ``cb(trainer, epoch, metrics) -> stop`` (see train/callbacks.py).
+
+        Device work is pipelined: batch uploads run a couple of steps ahead
+        on a background thread (:func:`data.dataset.device_prefetch`) and
+        per-step metrics stay on device until the epoch ends — the step loop
+        never blocks on the host<->device link."""
+        from building_detection_tpu.data.dataset import device_prefetch
+
         cfg = self.cfg
+        train_iter = device_prefetch(train_iter, self.mesh)
         for epoch in range(cfg.epochs):
             t0 = time.time()
+            step_metrics = [
+                self.train_on_batch(*next(train_iter), fetch_metrics=False)
+                for _ in range(self.steps_per_epoch)
+            ]
+            fetched = jax.device_get(step_metrics)  # ONE sync per epoch
             agg: Dict[str, float] = {}
-            for _ in range(self.steps_per_epoch):
-                m = self.train_on_batch(*next(train_iter))
+            for m in fetched:
                 for k, v in m.items():
-                    agg[k] = agg.get(k, 0.0) + v
+                    agg[k] = agg.get(k, 0.0) + float(v)
             agg = {k: v / self.steps_per_epoch for k, v in agg.items()}
             if val_iter is not None and val_steps:
                 vagg: Dict[str, float] = {}

