@@ -167,6 +167,35 @@ class TiledPredictor:
 
         return jax.jit(run)
 
+    def plan_and_stage(self, image_rgb: np.ndarray):
+        """Host-side prep: (plan | None, staged uint8 array, h, w).
+
+        Separated from :meth:`dispatch` so the ensemble runner can upload ONE
+        staged scene and share it across members instead of paying the
+        host->device transfer once per member."""
+        h, w = image_rgb.shape[:2]
+        plan = T.plan_tiles(h, w, self.cfg)
+        if plan.num_tiles == 0:
+            # Degenerate scenes (dim <= overlap) produce a blank mask in the
+            # reference (`predict.py:105-106` loops never run).
+            return None, None, h, w
+        if self.cfg.bucket_sizes:
+            plan = T.bucket_plan(plan, self.cfg)
+            staged = np.zeros((plan.canvas_h, plan.canvas_w, 3), np.uint8)
+            staged[:h, :w] = image_rgb
+        else:
+            staged = image_rgb
+        return plan, staged, h, w
+
+    def dispatch_staged(self, img_dev, hw_dev, plan, h: int, w: int):
+        """Enqueue the scene's program on already-uploaded device arrays."""
+        if self.cfg.bucket_sizes:
+            fn = self._compiled(0, 0, plan.canvas_h, plan.canvas_w, plan.num_tiles)
+        else:
+            fn = self._compiled(h, w, plan.canvas_h, plan.canvas_w, plan.num_tiles)
+        mask = fn(self.params, self.state, img_dev, T.origins_array(plan), hw_dev)
+        return mask, h, w
+
     def dispatch(self, image_rgb: np.ndarray):
         """Enqueue the scene's program; returns (device_array | None, h, w).
 
@@ -174,27 +203,16 @@ class TiledPredictor:
         overlap several models/scenes (the device queue is async; only a host
         fetch blocks).
         """
-        h, w = image_rgb.shape[:2]
-        plan = T.plan_tiles(h, w, self.cfg)
-        if plan.num_tiles == 0:
-            # Degenerate scenes (dim <= overlap) produce a blank mask in the
-            # reference (`predict.py:105-106` loops never run).
+        plan, staged, h, w = self.plan_and_stage(image_rgb)
+        if plan is None:
             return None, h, w
-        if self.cfg.bucket_sizes:
-            plan = T.bucket_plan(plan, self.cfg)
-            fn = self._compiled(0, 0, plan.canvas_h, plan.canvas_w, plan.num_tiles)
-            staged = np.zeros((plan.canvas_h, plan.canvas_w, 3), np.uint8)
-            staged[:h, :w] = image_rgb
-        else:
-            fn = self._compiled(h, w, plan.canvas_h, plan.canvas_w, plan.num_tiles)
-            staged = image_rgb
-        img = jnp.asarray(staged)
-        hw = jnp.asarray([h, w], jnp.int32)
         if self.device is not None:
-            img = jax.device_put(img, self.device)
-            hw = jax.device_put(hw, self.device)
-        mask = fn(self.params, self.state, img, T.origins_array(plan), hw)
-        return mask, h, w
+            img = jax.device_put(staged, self.device)
+            hw = jax.device_put(np.asarray([h, w], np.int32), self.device)
+        else:
+            img = jnp.asarray(staged)
+            hw = jnp.asarray([h, w], jnp.int32)
+        return self.dispatch_staged(img, hw, plan, h, w)
 
     @staticmethod
     def fetch(dispatched) -> np.ndarray:
@@ -242,10 +260,28 @@ class EnsemblePredictor:
         }
 
     def predict_masks(self, image_rgb: np.ndarray) -> Dict[str, np.ndarray]:
-        # dispatch all members first (concurrent across devices), then fetch
-        dispatched = {
-            name: p.dispatch(image_rgb) for name, p in self.predictors.items()
-        }
+        # Stage the scene ONCE and upload it once per distinct device (round
+        # 1 uploaded it once per MEMBER — 5x the bytes through the link);
+        # then dispatch all members (concurrent across devices) and fetch.
+        preds = list(self.predictors.items())
+        plan, staged, h, w = preds[0][1].plan_and_stage(image_rgb)
+        if plan is None:
+            return {name: np.zeros((h, w), np.uint8) for name, _ in preds}
+        hw_host = np.asarray([h, w], np.int32)
+        per_device: dict = {}
+        dispatched = {}
+        for name, p in preds:
+            key = p.device
+            if key not in per_device:
+                if key is None:
+                    per_device[key] = (jnp.asarray(staged), jnp.asarray(hw_host))
+                else:
+                    per_device[key] = (
+                        jax.device_put(staged, key),
+                        jax.device_put(hw_host, key),
+                    )
+            img_dev, hw_dev = per_device[key]
+            dispatched[name] = p.dispatch_staged(img_dev, hw_dev, plan, h, w)
         return {
             name: TiledPredictor.fetch(d) for name, d in dispatched.items()
         }

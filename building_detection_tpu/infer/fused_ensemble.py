@@ -47,6 +47,20 @@ class FusedEnsemblePredictor:
         self.states = {n: members[n][2] for n in self.names}
         self.cfg = cfg
         self.mesh = mesh
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            # Deliberate composition decision (docs/ARCHITECTURE.md): the
+            # fused program shards TILES over the data axis only.  Channel TP
+            # across the five members does not compose — their channel
+            # structures differ (728-ch Xception vs 1024-ch UNet vs 32..256
+            # HRNet branches), so one model axis cannot partition them
+            # evenly and GSPMD would insert halo collectives per member for
+            # no win; tile DP already scales the fused path linearly.  For
+            # channel TP use per-member TiledPredictor(tp=True).
+            raise ValueError(
+                "FusedEnsemblePredictor supports data-axis sharding only; "
+                "got a mesh with model axis > 1. Use a data-only mesh, or "
+                "per-member TiledPredictor(tp=True) for channel TP."
+            )
         n_dev = 1 if mesh is None else mesh.devices.size
         self.batch_tiles = batch_tiles * n_dev
         self.compute_dtype = compute_dtype

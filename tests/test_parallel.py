@@ -127,6 +127,117 @@ class TestEnsembleModelParallel:
             np.testing.assert_array_equal(got[k], ref[k])
 
 
+class TestFusedEnsembleOnMesh:
+    def _members(self, n=5):
+        x = jax.ShapeDtypeStruct((1, 32, 32, 3), jnp.float32)
+        members = {}
+        for i, name in enumerate("abcde"[:n]):
+            params, state = M.init(tiny_model, jax.random.key(i), x)
+            members[name] = (tiny_model, params, state)
+        return members
+
+    def test_matches_single_device(self):
+        """The production path (fused 5-member program) sharded over the
+        data axis is bit-identical to single-device (VERDICT r1 item 4a)."""
+        from building_detection_tpu.infer.fused_ensemble import (
+            FusedEnsemblePredictor,
+        )
+
+        members = self._members()
+        img = np.random.RandomState(21).randint(0, 256, (80, 104, 3), np.uint8)
+        single = FusedEnsemblePredictor(
+            members, CFG, batch_tiles=8, compute_dtype=jnp.float32
+        )
+        mesh = pmesh.make_mesh(data=8)
+        sharded = FusedEnsemblePredictor(
+            members, CFG, batch_tiles=1, compute_dtype=jnp.float32, mesh=mesh
+        )
+        ref = single.predict_masks(img)
+        got = sharded.predict_masks(img)
+        assert set(ref) == set(got)
+        for k in ref:
+            np.testing.assert_array_equal(got[k], ref[k])
+
+    def test_pipelined_many_on_mesh(self):
+        from building_detection_tpu.infer.fused_ensemble import (
+            FusedEnsemblePredictor,
+        )
+
+        members = self._members(2)
+        rng = np.random.RandomState(22)
+        imgs = [rng.randint(0, 256, (56, 56, 3), np.uint8) for _ in range(3)]
+        mesh = pmesh.make_mesh(data=8)
+        sharded = FusedEnsemblePredictor(
+            members, CFG, batch_tiles=1, compute_dtype=jnp.float32, mesh=mesh
+        )
+        single = FusedEnsemblePredictor(
+            members, CFG, batch_tiles=2, compute_dtype=jnp.float32
+        )
+        many = sharded.predict_masks_many(imgs)
+        for img, got in zip(imgs, many):
+            ref = single.predict_masks(img)
+            for k in ref:
+                np.testing.assert_array_equal(got[k], ref[k])
+
+    def test_rejects_model_axis(self):
+        """fused + channel TP deliberately does not compose (documented)."""
+        from building_detection_tpu.infer.fused_ensemble import (
+            FusedEnsemblePredictor,
+        )
+
+        mesh = pmesh.make_mesh(data=2, model=4)
+        with pytest.raises(ValueError, match="data-axis sharding only"):
+            FusedEnsemblePredictor(
+                self._members(2), CFG, compute_dtype=jnp.float32, mesh=mesh
+            )
+
+
+class TestEnsembleSharedUpload:
+    def test_one_upload_per_device(self, monkeypatch):
+        """predict_masks stages the scene once per distinct device, not once
+        per member (VERDICT r1 item 4b: 5x upload waste)."""
+        from building_detection_tpu.infer.engine import EnsemblePredictor
+
+        x = jax.ShapeDtypeStruct((1, 32, 32, 3), jnp.float32)
+        members = {}
+        for i, name in enumerate("abcde"):
+            params, state = M.init(tiny_model, jax.random.key(i), x)
+            members[name] = (tiny_model, params, state)
+        img = np.random.RandomState(7).randint(0, 256, (56, 80, 3), np.uint8)
+
+        puts = []
+        real_put = jax.device_put
+
+        def counting_put(val, dev=None, **kw):
+            if getattr(val, "nbytes", 0) >= img.nbytes:
+                puts.append(dev)
+            return real_put(val, dev, **kw)
+
+        # two members per device over 2 devices + default: uploads == devices
+        ens = EnsemblePredictor(
+            members, CFG, batch_tiles=2, compute_dtype=jnp.float32,
+            devices=jax.devices()[:2],
+        )
+        monkeypatch.setattr(jax, "device_put", counting_put)
+        masks = ens.predict_masks(img)
+        assert len(masks) == 5
+        assert len(puts) == 2  # NOT 5
+
+    def test_degenerate_scene_blank_masks(self):
+        from building_detection_tpu.infer.engine import EnsemblePredictor
+
+        x = jax.ShapeDtypeStruct((1, 32, 32, 3), jnp.float32)
+        members = {}
+        for i, name in enumerate("ab"):
+            params, state = M.init(tiny_model, jax.random.key(i), x)
+            members[name] = (tiny_model, params, state)
+        ens = EnsemblePredictor(members, CFG, compute_dtype=jnp.float32)
+        img = np.zeros((6, 6, 3), np.uint8)  # below overlap: no tiles
+        masks = ens.predict_masks(img)
+        for m in masks.values():
+            assert m.shape == (6, 6) and not m.any()
+
+
 class TestChannelTensorParallel:
     def test_tp_matches_single_device(self):
         """GSPMD channel TP over the model axis == single-device output."""
