@@ -95,6 +95,48 @@ class TestApproxPolyDP:
                 f"seed={seed} rate={rate}\nours={ours}\ntheirs={theirs}"
             )
 
+    @pytest.mark.parametrize("seed", range(40))
+    def test_adversarial_masks_exact(self, seed):
+        """Self-touching noise/checker/line-web contours, point-for-point
+        EQUAL (not just cyclically) vs cv2.  A 64,954-contour fuzz of this
+        protocol showed zero divergence; these seeds pin a sample of it."""
+        rng = np.random.RandomState(seed)
+        kind = seed % 4
+        size = rng.randint(16, 64)
+        if kind == 0:
+            m = (rng.rand(size, size) < rng.uniform(0.3, 0.7)).astype(np.uint8) * 255
+        elif kind == 1:
+            m = np.zeros((size, size), np.uint8)
+            for _ in range(rng.randint(1, 6)):
+                cv.circle(m, (rng.randint(0, size), rng.randint(0, size)),
+                          rng.randint(1, 10), 255, -1)
+        elif kind == 2:
+            m = (np.indices((size, size)).sum(0) % rng.randint(2, 4) == 0).astype(np.uint8) * 255
+            m[rng.rand(size, size) < 0.2] = 0
+        else:
+            m = np.zeros((size, size), np.uint8)
+            for _ in range(rng.randint(2, 8)):
+                cv.line(m, tuple(rng.randint(0, size, 2)),
+                        tuple(rng.randint(0, size, 2)), 255, 1)
+        for c in cv2_contours(m):
+            peri = cv.arcLength(c, True)
+            for rate in (0.01, 0.05, 0.002):
+                eps = rate * peri
+                theirs = cv.approxPolyDP(c, eps, True).reshape(-1, 2)
+                ours = G.approx_poly_dp(c.reshape(-1, 2), eps, True)
+                np.testing.assert_array_equal(ours, theirs)
+
+    @pytest.mark.parametrize("seed", range(12))
+    def test_open_curves_match_cv2(self, seed):
+        rng = np.random.RandomState(100 + seed)
+        for _ in range(40):
+            m = rng.randint(3, 30)
+            pts = rng.randint(0, 40, (m, 2)).astype(np.int32)
+            eps = rng.uniform(0.2, 8.0)
+            theirs = cv.approxPolyDP(pts.reshape(-1, 1, 2), eps, False).reshape(-1, 2)
+            ours = G.approx_poly_dp(pts, eps, False)
+            np.testing.assert_array_equal(ours, theirs)
+
 
 class TestMinAreaRect:
     @pytest.mark.parametrize("seed", range(6))
