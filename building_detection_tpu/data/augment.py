@@ -41,15 +41,40 @@ def _scale_one(
 
     Mirrors ``random_scale_resize`` (`data_enhancement.py:102-131`): shrink
     pads with gray 128 (image) / 0 (label); grow center-crops.  Implemented
-    as a single resample of the source grid so shapes stay static under jit.
+    as a single BILINEAR resample of the source grid (the reference resizes
+    bilinearly via cv2; see docs/QUIRKS.md — half-pixel conventions differ
+    from cv2's two-step resize+pad/crop by <1px, statistically equivalent,
+    pinned by ``tests/test_data.py::TestScaleEquivalence``) so shapes stay
+    static under jit.  Labels are re-binarised at ``label_threshold`` after
+    interpolation, as the reference does after its resize
+    (`data_enhancement.py:134`).
     """
     h, w = img.shape[0], img.shape[1]
     yy = (jnp.arange(h) - (h - 1) / 2.0) / scale + (h - 1) / 2.0
     xx = (jnp.arange(w) - (w - 1) / 2.0) / scale + (w - 1) / 2.0
-    yi = jnp.clip(jnp.round(yy).astype(jnp.int32), 0, h - 1)
-    xi = jnp.clip(jnp.round(xx).astype(jnp.int32), 0, w - 1)
-    sampled_img = img[yi][:, xi]
-    sampled_lab = lab[yi][:, xi]
+    y0 = jnp.floor(yy)
+    x0 = jnp.floor(xx)
+    fy = (yy - y0).astype(jnp.float32)
+    fx = (xx - x0).astype(jnp.float32)
+    y0c = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1c = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    x0c = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1c = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+
+    def bilinear(src):
+        f = src.astype(jnp.float32)
+        a = f[y0c][:, x0c]
+        b = f[y0c][:, x1c]
+        c = f[y1c][:, x0c]
+        d = f[y1c][:, x1c]
+        wy = fy[:, None] if src.ndim == 2 else fy[:, None, None]
+        wx = fx[None, :] if src.ndim == 2 else fx[None, :, None]
+        top = a * (1 - wx) + b * wx
+        bot = c * (1 - wx) + d * wx
+        return jnp.round(top * (1 - wy) + bot * wy)
+
+    sampled_img = bilinear(img).astype(jnp.uint8)
+    sampled_lab = bilinear(lab).astype(jnp.uint8)
     inside = (
         (yy >= 0)[:, None] & (yy <= h - 1)[:, None] & (xx >= 0)[None, :] & (xx <= w - 1)[None, :]
     )

@@ -80,6 +80,66 @@ class TestAugmentBatch:
         np.testing.assert_array_equal(np.asarray(out_l), labs)
 
 
+class TestScaleEquivalence:
+    """The on-device scale resample vs a literal cv2 transcription of
+    `random_scale_resize` (`data_enhancement.py:102-124`, flips excluded).
+
+    The jit path samples one bilinear grid; the reference resizes with cv2
+    then pads/center-crops — same filter, half-pixel conventions differ by
+    <1px shift, so equivalence is STATISTICAL: building area, label overlap
+    and image statistics must agree (docs/QUIRKS.md row)."""
+
+    def _cv2_scale(self, img, lab, s):
+        import cv2 as cv
+
+        h, w = img.shape[:2]
+        n_h, n_w = int(h * s), int(w * s)
+        image = cv.resize(img, (n_w, n_h))
+        label = np.where(cv.resize(lab, (n_w, n_h)) > 125, 255, 0).astype(np.uint8)
+        if s < 1:
+            x, y = (w - n_w) // 2, (h - n_h) // 2
+            new_img = np.full((h, w, 3), 128, np.uint8)
+            new_lab = np.zeros((h, w), np.uint8)
+            new_img[y:y + n_h, x:x + n_w] = image
+            new_lab[y:y + n_h, x:x + n_w] = label
+        else:
+            x = max((n_w - w) // 2 - 1, 0)
+            y = max((n_h - h) // 2 - 1, 0)
+            new_img = image[y:y + h, x:x + w]
+            new_lab = label[y:y + h, x:x + w]
+        return new_img, new_lab
+
+    @pytest.mark.parametrize("scale", [0.6, 0.85, 1.4, 2.0])
+    def test_statistically_equivalent(self, scale):
+        import cv2 as cv
+        import jax.numpy as jnp
+
+        from building_detection_tpu.data.augment import _scale_one
+
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (128, 128, 3), np.uint8)
+        lab = np.zeros((128, 128), np.uint8)
+        for _ in range(6):
+            cv.circle(lab, (rng.randint(20, 108), rng.randint(20, 108)),
+                      rng.randint(6, 18), 255, -1)
+        ours_i, ours_l = jax.jit(
+            lambda i, l: _scale_one(i, l, jnp.float32(scale), AugmentConfig())
+        )(img, lab)
+        ours_i, ours_l = np.asarray(ours_i), np.asarray(ours_l)
+        ref_i, ref_l = self._cv2_scale(img, lab, scale)
+
+        # building area within 5% of the cv2 result
+        a_ref, a_ours = (ref_l == 255).mean(), (ours_l == 255).mean()
+        assert a_ours == pytest.approx(a_ref, rel=0.05, abs=0.002)
+        # labels overlap strongly (subpixel shift tolerance)
+        inter = ((ref_l == 255) & (ours_l == 255)).sum()
+        union = ((ref_l == 255) | (ours_l == 255)).sum()
+        assert union == 0 or inter / union > 0.85, inter / union
+        # image statistics agree
+        assert abs(float(ref_i.mean()) - float(ours_i.mean())) < 4.0
+        assert abs(float(ref_i.std()) - float(ours_i.std())) < 6.0
+
+
 class TestDatasetBuilder:
     def test_run_and_split(self, tmp_path):
         img_dir, lab_dir = write_dataset(tmp_path, n=10)
