@@ -163,6 +163,10 @@ class TiledPredictor:
                 return carry, None
 
             mask_canvas, _ = lax.scan(body, mask_canvas, chunks)
+            if not runtime_hw:
+                # crop the pad margin on device; the host fetch is the
+                # down-link bottleneck, don't ship pad bytes
+                mask_canvas = mask_canvas[:h, :w]
             return mask_canvas * jnp.uint8(255)
 
         return jax.jit(run)

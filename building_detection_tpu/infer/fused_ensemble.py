@@ -143,6 +143,10 @@ class FusedEnsemblePredictor:
                 return carry, None
 
             mask_canvas, _ = lax.scan(body, mask_canvas, chunks)
+            if not runtime_hw:
+                # crop the pad margin ON DEVICE: the host fetch is the
+                # pipeline's down-link bottleneck, don't ship pad bytes
+                mask_canvas = mask_canvas[:h, :w]
             return mask_canvas
 
         return jax.jit(run)

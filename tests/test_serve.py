@@ -216,6 +216,58 @@ class TestMicroBatcher:
         batcher.close()
 
 
+class TestRealPipelineIntegration:
+    """End-to-end over real HTTP with a REAL Pipeline (one zoo model, tiny
+    tiles, 1-of-1 vote) — the full predict -> fuse -> polygons -> JSON path
+    with no stubs."""
+
+    def test_photo_roundtrip_real_pipeline(self, tmp_path):
+        import jax.numpy as jnp
+
+        from building_detection_tpu.core.config import (
+            Config, FuseConfig, TilerConfig,
+        )
+        from building_detection_tpu.infer.pipeline import Pipeline
+
+        cfg = Config(
+            tiler=TilerConfig(tile=32, stride=24, overlap=8),
+            fuse=FuseConfig(num_models=1, vote_threshold=1),
+        )
+        pipe = Pipeline(
+            cfg=cfg, models=("res34",), batch_tiles=2,
+            compute_dtype=jnp.float32,
+        )
+        service = DetectionService(pipe, cfg, root_dir=str(tmp_path))
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        try:
+            port = httpd.server_address[1]
+            rng = np.random.RandomState(0)
+            img = rng.randint(0, 256, (48, 64, 3), np.uint8)
+            path = str(tmp_path / "scene.png")
+            uio.imwrite(path, img)
+            data = bdt_client.detect(
+                path, url=f"http://127.0.0.1:{port}/photo", client_id="it_1"
+            )
+            assert data["status"] == "success", data["error"]
+            assert set(data) == {"status", "data", "points", "error"}
+            back = base64.b64decode(data["data"])
+            assert back[:4] == b"\x89PNG"
+            mask = uio.imread_gray(
+                str(tmp_path / "all_result" / "it_1" / "result.png")
+            )
+            assert mask.shape == (48, 64)
+            assert set(np.unique(mask)) <= {0, 255}
+            # points strings parse back into closed integer rings
+            for ring in data["points"].values():
+                pairs = [p for p in ring.strip().split(" ") if p]
+                assert all("," in p for p in pairs)
+                assert pairs[0] == pairs[-1]  # closed (edge_3.py:379-387)
+        finally:
+            httpd.shutdown()
+
+
 class TestConcurrentRequests:
     def test_two_clients_simultaneously(self, server, tmp_path):
         """The service lock serializes predictions; both clients succeed and
