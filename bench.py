@@ -205,7 +205,8 @@ def measure_train(model_name: str, batch: int, iters: int):
 
     cfg = TrainConfig(batch_size=batch)
     trainer = Trainer(
-        model_name, cfg, steps_per_epoch=iters, compute_dtype=jnp.bfloat16
+        model_name, cfg, steps_per_epoch=iters, compute_dtype=jnp.bfloat16,
+        remat=os.environ.get("BDT_BENCH_TRAIN_REMAT", "0") == "1",
     )
     rng = np.random.RandomState(0)
     n = batch * iters
@@ -214,10 +215,12 @@ def measure_train(model_name: str, batch: int, iters: int):
     images_dev, labels_dev = trainer.stage_dataset(imgs, labs)
     # compile + warm epoch (fetch_metrics syncs via the host fetch)
     trainer.train_epoch_staged(images_dev, labels_dev)
-    flops_per_epoch = _flops_of(
-        trainer._epoch_fn.lower(
+    # FLOPs from the SINGLE step's executable (XLA cost analysis does not
+    # scale a scanned while-body by its trip count) x steps per epoch
+    flops_per_epoch = iters * _flops_of(
+        trainer._train_step.lower(
             trainer.params, trainer.state, trainer.opt_state,
-            images_dev, labels_dev,
+            images_dev[0], labels_dev[0],
         ).compile()
     )
     t0 = time.perf_counter()
@@ -254,7 +257,7 @@ def main() -> int:
         tps, fps = measure_scene_mixed(names, batch, iters, jnp.bfloat16)
         metric = "ensemble_mixed_scene_512_tiles_per_sec_per_chip"
     elif mode == "train":
-        train_batch = int(os.environ.get("BDT_BENCH_TRAIN_BATCH", "32"))
+        train_batch = int(os.environ.get("BDT_BENCH_TRAIN_BATCH", "16"))
         tps, fps = measure_train(names[0], train_batch, iters)
         metric = f"train_{names[0]}_512_images_per_sec"
         baseline = None

@@ -53,7 +53,7 @@ class Pipeline:
         self,
         weights: Optional[Dict[str, str]] = None,
         cfg: Config = Config(),
-        batch_tiles: int = 8,
+        batch_tiles: int = 36,
         compute_dtype=jnp.bfloat16,
         models: tuple = ENSEMBLE_ORDER,
         seed: int = 0,
@@ -63,7 +63,13 @@ class Pipeline:
     ):
         """``fused=True`` traces the whole ensemble into one XLA program per
         scene shape (bit-identical to per-model execution, fewer dispatches,
-        shared tile gather); ``mesh`` shards tile batches over its data axis."""
+        shared tile gather); ``mesh`` shards tile batches over its data axis.
+
+        ``batch_tiles=36`` (one 2048x2048 scene's tile grid per chunk) was
+        measured fastest on v5e: chunking at 8/12/18 costs 20-30% (extra
+        scan steps), and lax.map sub-chunking inside the program is slower
+        still; per-model profiles (bench r2) show the MXU-lane ceiling, not
+        batch size, limits per-model MFU."""
         self.cfg = cfg
         weights = weights or {}
         members = {}

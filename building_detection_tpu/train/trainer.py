@@ -73,7 +73,12 @@ class Trainer:
         mesh=None,
         compute_dtype=jnp.float32,
         seed: int = 0,
+        remat: bool = False,
     ):
+        """``remat=True`` rematerialises the forward pass during backward
+        (``jax.checkpoint``), trading ~1/3 more FLOPs for activation memory —
+        the standard TPU lever for fitting larger batches in HBM (a res34
+        fwd+bwd step at 512^2 OOMs one v5e chip at batch 32 without it)."""
         self.model_name = model_name if isinstance(model_name, str) else getattr(model_name, "__name__", "custom")
         self.model_fn = (
             MODEL_REGISTRY[model_name] if isinstance(model_name, str) else model_name
@@ -111,9 +116,14 @@ class Trainer:
             y_true = make_targets(labels_u8, cfg, cfg.label_smooth)
 
             def losses(p):
-                probs, new_state = M.apply(
-                    model_fn, p, state, x, train=True, compute_dtype=cdtype
-                )
+                def fwd(p_, x_):
+                    return M.apply(
+                        model_fn, p_, state, x_, train=True, compute_dtype=cdtype
+                    )
+
+                if remat:
+                    fwd = jax.checkpoint(fwd)
+                probs, new_state = fwd(p, x)
                 probs = probs.astype(jnp.float32)
                 return loss_fn(y_true, probs), (probs, new_state)
 

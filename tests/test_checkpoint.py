@@ -196,6 +196,14 @@ class TestH5RoundTripZoo:
     zoo model — export known pytrees in the Keras layout, import into a
     fresh random init, demand bit-equality and identical forwards."""
 
+    @staticmethod
+    def _perturbed(params, state):
+        """A distinct target pytree without paying a second model init."""
+        return (
+            {k: np.asarray(v) + 0.5 for k, v in params.items()},
+            {k: np.asarray(v) + 0.25 for k, v in state.items()},
+        )
+
     @pytest.mark.parametrize("name", ["res34", "hrnet", "v3plus", "scse", "bam"])
     def test_roundtrip_and_forward_equality(self, tmp_path, name):
         import jax
@@ -209,7 +217,7 @@ class TestH5RoundTripZoo:
             {k: np.asarray(v) for k, v in src_params.items()},
             {k: np.asarray(v) for k, v in src_state.items()},
         )
-        tgt_params, tgt_state = init_model(name, jax.random.key(8), (1, 32, 32, 3))
+        tgt_params, tgt_state = self._perturbed(src_params, src_state)
         got_params, got_state, report = ckpt.import_h5_weights(
             path, tgt_params, tgt_state, strict=True
         )
@@ -235,7 +243,6 @@ class TestH5RoundTripZoo:
         """The 16 shape-identical Xception middle-flow blocks
         (`v3plus.py:239-252`) must land on the right targets even when NO
         names match (order-based fallback)."""
-        import h5py
         import jax
 
         from building_detection_tpu.models.registry import init_model
@@ -254,7 +261,7 @@ class TestH5RoundTripZoo:
             )
         path = str(tmp_path / "v3plus_renamed.h5")
         write_keras_h5(path, list(renamed.items()))
-        tgt_params, tgt_state = init_model("v3plus", jax.random.key(4), (1, 32, 32, 3))
+        tgt_params, tgt_state = TestH5RoundTripZoo._perturbed(src_params, src_state)
         got_params, got_state, report = ckpt.import_h5_weights(
             path, tgt_params, tgt_state, strict=True
         )

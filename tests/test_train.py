@@ -215,6 +215,17 @@ class TestTrainer:
         for k in pa:
             np.testing.assert_allclose(pa[k], pb[k], rtol=1e-6, atol=1e-7)
 
+    def test_remat_matches_plain(self):
+        """jax.checkpoint remat changes memory, not numerics."""
+        imgs, labs = self.make_data()
+        cfg = TrainConfig(batch_size=8, epochs=2, warmup_epochs=1, image_size=32)
+        tr_a = Trainer(tiny_model, cfg, steps_per_epoch=3)
+        tr_b = Trainer(tiny_model, cfg, steps_per_epoch=3, remat=True)
+        for _ in range(3):
+            ma = tr_a.train_on_batch(imgs, labs)
+            mb = tr_b.train_on_batch(imgs, labs)
+            assert mb["loss"] == pytest.approx(ma["loss"], rel=1e-6)
+
     def test_stage_dataset_drops_remainder(self):
         imgs, labs = self.make_data(n=19)
         tr = self.make_trainer()
