@@ -15,8 +15,11 @@ the constant below (measured on this host, see BASELINE.md) is used.
 Extra keys: ``tflops`` (achieved, from XLA cost analysis) and ``mfu``
 (fraction of BDT_PEAK_FLOPS, default v5e bf16 peak 197e12).
 
-Env knobs: BDT_BENCH_MODE (scene|scene_mixed|ensemble|train),
-BDT_BENCH_BATCH (default 36), BDT_BENCH_ITERS (default 10),
+Env knobs: BDT_BENCH_MODE (fused|scene|scene_mixed|ensemble|train;
+``fused`` = production fused program, HBM-resident scene groups — the
+low-variance compute number; ``scene`` = end-to-end incl. the dev tunnel's
+noisy ~20-35 MB/s transfers),
+BDT_BENCH_BATCH (default 128), BDT_BENCH_ITERS (default 10),
 BDT_BENCH_MODELS (default all five), BDT_BENCH_TRAIN_BATCH (default 32).
 """
 from __future__ import annotations
@@ -131,6 +134,38 @@ def _build_fused(names, batch, dtype, bucket_sizes=False):
     return FusedEnsemblePredictor(members, cfg, batch_tiles=batch, compute_dtype=dtype)
 
 
+def measure_fused_forward(names, batch, iters, dtype):
+    """Compute throughput of the production fused-ensemble program (tile
+    gather + 5 model forwards + argmax + scatter-OR + bitplane pack) with
+    scene groups resident in HBM.
+
+    This is what the chip sustains when scenes stream in over a production
+    host link; the dev tunnel here moves ~20-35 MB/s with heavy variance
+    (BASELINE.md), which `scene` mode measures end-to-end."""
+    import numpy as np
+
+    from building_detection_tpu.ops import tiling as T
+
+    pred = _build_fused(names, batch, dtype)
+    rng = np.random.RandomState(0)
+    plan = T.plan_tiles(2048, 2048, pred.cfg)
+    group = pred._group_size(plan.num_tiles)
+    scenes = [
+        rng.randint(0, 256, (2048, 2048, 3), np.uint8) for _ in range(group)
+    ]
+    fn, staged = pred._stage_group(scenes, plan)
+    out = fn(pred.params, pred.states, *staged)
+    np.asarray(out)  # compile + sync (host fetch is the only real sync here)
+    flops = _flops_of(fn.lower(pred.params, pred.states, *staged).compile())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(pred.params, pred.states, *staged)
+    np.asarray(out)  # FIFO queue: fetching the last result flushes all
+    dt = time.perf_counter() - t0
+    n = plan.num_tiles * group * iters
+    return n / dt, flops * iters / dt
+
+
 def measure_scene(names, batch, iters, dtype):
     """End-to-end fused-ensemble scene throughput: pad + gather + 5 forwards
     + argmax + scatter-OR, one program, on 2048x2048 scenes."""
@@ -143,10 +178,13 @@ def measure_scene(names, batch, iters, dtype):
     scenes = [
         rng.randint(0, 256, (2048, 2048, 3), np.uint8) for _ in range(iters)
     ]
-    pred.predict_masks(scenes[0])  # compile
+    # warm with a full pass: compiles every scene-group size that the timed
+    # run will use (full groups + the remainder group)
+    pred.predict_masks_many(scenes)
     plan = T.plan_tiles(2048, 2048, pred.cfg)
     n_tiles = plan.num_tiles
-    flops_per_scene = _flops_of_scene(pred, scenes[0], plan)
+    group = min(pred._group_size(n_tiles), iters)
+    flops_per_scene = _flops_of_scene(pred, scenes[:group], plan)
     t0 = time.perf_counter()
     # pipelined: scene uploads/downloads overlap compute via the FIFO queue
     pred.predict_masks_many(scenes)
@@ -155,11 +193,12 @@ def measure_scene(names, batch, iters, dtype):
     return tps, flops_per_scene * iters / dt
 
 
-def _flops_of_scene(pred, scene, plan) -> float:
-    """Cost analysis of the (already compiled+cached) per-scene program."""
+def _flops_of_scene(pred, scenes, plan) -> float:
+    """Per-scene FLOPs from the (already compiled+cached) group program."""
     try:
-        fn, staged = pred._stage(scene, plan)
-        return _flops_of(fn.lower(pred.params, pred.states, *staged).compile())
+        fn, staged = pred._stage_group(scenes, plan)
+        total = _flops_of(fn.lower(pred.params, pred.states, *staged).compile())
+        return total / len(scenes)
     except Exception:
         return 0.0
 
@@ -179,8 +218,8 @@ def measure_scene_mixed(names, batch, iters, dtype):
         rng.randint(0, 256, (h, w, 3), np.uint8)
         for h, w in (sizes * ((iters + len(sizes) - 1) // len(sizes)))[:iters]
     ]
-    for h, w in sorted({s.shape[:2] for s in scenes}):  # compile each bucket
-        pred.predict_masks(np.zeros((h, w, 3), np.uint8))
+    # warm with a full pass (compiles every bucket x group-size program)
+    pred.predict_masks_many(scenes)
     n_tiles = sum(
         T.plan_tiles(s.shape[0], s.shape[1], pred.cfg).num_tiles for s in scenes
     )
@@ -240,9 +279,9 @@ def main() -> int:
     names = os.environ.get(
         "BDT_BENCH_MODELS", "res34,hrnet,v3plus,scse,bam"
     ).split(",")
-    batch = int(os.environ.get("BDT_BENCH_BATCH", "36"))
+    batch = int(os.environ.get("BDT_BENCH_BATCH", "128"))
     iters = int(os.environ.get("BDT_BENCH_ITERS", "10"))
-    mode = os.environ.get("BDT_BENCH_MODE", "scene")
+    mode = os.environ.get("BDT_BENCH_MODE", "fused")
 
     baseline = CPU_BASELINE_TILES_PER_SEC
     if os.environ.get("BDT_BENCH_CPU_BASELINE") == "measure":
@@ -250,7 +289,10 @@ def main() -> int:
         print(f"# measured CPU baseline: {baseline:.4f} tiles/s", file=sys.stderr)
 
     unit = "tiles/s"
-    if mode == "scene":
+    if mode == "fused":
+        tps, fps = measure_fused_forward(names, batch, iters, jnp.bfloat16)
+        metric = "ensemble_fused_forward_512_tiles_per_sec_per_chip"
+    elif mode == "scene":
         tps, fps = measure_scene(names, batch, iters, jnp.bfloat16)
         metric = "ensemble_scene_512_tiles_per_sec_per_chip"
     elif mode == "scene_mixed":

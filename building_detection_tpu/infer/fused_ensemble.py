@@ -6,17 +6,29 @@ engine.EnsemblePredictor` already batches tiles per model; this variant goes
 further and traces the whole ensemble into a single XLA program:
 
 * tiles are gathered and normalised ONCE and shared by all five models;
-* one dispatch per scene instead of five (dispatch through this
-  environment's TPU tunnel is expensive);
+* one dispatch per scene GROUP instead of five per scene (dispatch through
+  this environment's TPU tunnel is expensive);
 * XLA schedules the five models' ops together, filling pipeline bubbles;
 * the 3-of-5 vote (`model_fuse.py:315-323`) is available on device for the
   fast path (``predict_vote``), while per-model masks remain available for
   the parity path's morphological fusion.
+
+Two throughput levers measured on v5e (bench r2, clean on-device timing):
+
+* **tile batch size**: the ensemble forward runs at 47.6 tiles/s at batch 36
+  but 72.4 at batch 108 and 74.5 at batch 128 (50%+ MFU) — the 512x512x64
+  stem convs lay out with batch as the MXU lane dimension, so batches below
+  128 underfill the systolic array.  Scenes smaller than the tile budget are
+  therefore *grouped*: ``predict_masks_many`` stacks same-shape scenes on a
+  leading scene axis and tiles of the whole group form one batch.
+* **download packing**: masks leave the chip as 8-pixels-per-byte bitplanes
+  (one per member) instead of one byte per pixel — 0.625 B/px instead of
+  1 B/px through the ~30 MB/s tunnel.
 """
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,14 +42,40 @@ from building_detection_tpu.ops import tiling as T
 Array = jax.Array
 
 
+def _pack_bitplanes(canvas: Array, n_bits: int) -> Array:
+    """(S, H, W) uint8 with one mask bit per member -> (n_bits, S, H, ceil(W/8))
+    uint8 bitplanes, MSB-first within each byte (``np.unpackbits`` order)."""
+    s, h, w = canvas.shape
+    w8 = -(-w // 8) * 8
+    if w8 != w:
+        canvas = jnp.pad(canvas, ((0, 0), (0, 0), (0, w8 - w)))
+    grouped = canvas.reshape(s, h, w8 // 8, 8)
+    planes = []
+    for bit in range(n_bits):
+        plane = (grouped >> bit) & jnp.uint8(1)
+        packed = jnp.zeros(grouped.shape[:-1], jnp.uint8)
+        for k in range(8):
+            packed = packed | (plane[..., k] << (7 - k))
+        planes.append(packed)
+    return jnp.stack(planes)
+
+
+def _unpack_bitplanes(planes: np.ndarray, width: int) -> np.ndarray:
+    """(n_bits, S, H, W8/8) uint8 -> (n_bits, S, H, width) {0,1} uint8."""
+    return np.unpackbits(planes, axis=-1)[..., :width]
+
+
 class FusedEnsemblePredictor:
-    """Drop-in alternative to EnsemblePredictor with one program per scene."""
+    """Drop-in alternative to EnsemblePredictor with one program per scene
+    group.  ``batch_tiles`` is the per-dispatch tile budget; same-shape scenes
+    are grouped so ``num_tiles * group`` fills it (128 saturates the v5e MXU;
+    see module docstring)."""
 
     def __init__(
         self,
         members: Dict[str, Tuple[Callable, dict, dict]],
         cfg: TilerConfig = TilerConfig(),
-        batch_tiles: int = 8,
+        batch_tiles: int = 128,
         compute_dtype=jnp.bfloat16,
         mesh=None,
     ):
@@ -71,43 +109,61 @@ class FusedEnsemblePredictor:
             self.states = pmesh.replicate(self.states, mesh)
 
     @functools.lru_cache(maxsize=32)
-    def _compiled(self, h: int, w: int, canvas_h: int, canvas_w: int, num_tiles: int):
+    def _compiled(
+        self,
+        h: int,
+        w: int,
+        canvas_h: int,
+        canvas_w: int,
+        num_tiles: int,
+        n_scenes: int,
+    ):
         cfg = self.cfg
         tile = cfg.tile
-        batch = min(self.batch_tiles, max(num_tiles, 1))
-        num_chunks = -(-num_tiles // batch)
+        total = num_tiles * n_scenes
+        batch = min(self.batch_tiles, max(total, 1))
+        num_chunks = -(-total // batch)
         padded = num_chunks * batch
-        n_models = len(self.names)
         runtime_hw = h == 0 and w == 0
 
-        def run(params, states, img_u8: Array, origins: Array, hw: Array) -> Array:
+        def run(params, states, imgs_u8: Array, origins: Array, hw: Array) -> Array:
             # Pad region is forced to 0.0 in normalized space (reference
             # contract, predict.py:102-104).  With bucketing (h == w == 0)
-            # the image arrives host-padded and the real extent is a runtime
-            # scalar pair; otherwise the raw image pads on device (cheaper
+            # images arrive host-padded and the real extents are runtime
+            # scalars; otherwise the raw images pad on device (cheaper
             # uploads through the slow tunnel).
-            norm = T.normalize(img_u8, cfg, dtype=self.compute_dtype)
+            norm = T.normalize(imgs_u8, cfg, dtype=self.compute_dtype)
             if runtime_hw:
                 row = lax.broadcasted_iota(jnp.int32, (canvas_h, canvas_w), 0)
                 col = lax.broadcasted_iota(jnp.int32, (canvas_h, canvas_w), 1)
-                canvas = jnp.where(
-                    ((row < hw[0]) & (col < hw[1]))[..., None], norm, 0
+                keep = (row[None] < hw[:, 0, None, None]) & (
+                    col[None] < hw[:, 1, None, None]
                 )
+                canvas = jnp.where(keep[..., None], norm, 0)
             else:
                 canvas = jnp.pad(
-                    norm, ((0, canvas_h - h), (0, canvas_w - w), (0, 0))
+                    norm,
+                    ((0, 0), (0, canvas_h - h), (0, canvas_w - w), (0, 0)),
                 )
-            if padded != num_tiles:
-                reps = jnp.broadcast_to(origins[-1:], (padded - num_tiles, 2))
-                origins = jnp.concatenate([origins, reps], axis=0)
-            chunks = origins.reshape(num_chunks, batch, 2)
-            # the 5 per-model bits are PACKED into one uint8 plane: 5x less
-            # device->host traffic (the tunnel in this environment moves
-            # ~20 MB/s, so mask download would otherwise dominate)
-            mask_canvas = jnp.zeros((canvas_h, canvas_w), jnp.uint8)
+            # scene-indexed origins (scene, row, col), one row per tile
+            sidx = jnp.repeat(jnp.arange(n_scenes, dtype=jnp.int32), num_tiles)
+            so = jnp.concatenate(
+                [sidx[:, None], jnp.tile(origins, (n_scenes, 1))], axis=1
+            )
+            if padded != total:
+                reps = jnp.broadcast_to(so[-1:], (padded - total, 3))
+                so = jnp.concatenate([so, reps], axis=0)
+            chunks = so.reshape(num_chunks, batch, 3)
+            mask_canvas = jnp.zeros((n_scenes, canvas_h, canvas_w), jnp.uint8)
 
             def body(carry, chunk_origins):
-                tiles = T.extract_tiles(canvas, chunk_origins, tile)
+                def get(o):
+                    t = lax.dynamic_slice(
+                        canvas, (o[0], o[1], o[2], 0), (1, tile, tile, 3)
+                    )
+                    return t[0]
+
+                tiles = jax.vmap(get)(chunk_origins)
                 if self.mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -115,6 +171,7 @@ class FusedEnsemblePredictor:
                         tiles,
                         NamedSharding(self.mesh, P("data", None, None, None)),
                     )
+                # the 5 per-model bits are PACKED into one uint8 plane
                 packed = jnp.zeros(tiles.shape[:3], jnp.uint8)
                 for bit, name in enumerate(self.names):
                     probs, _ = M.apply(
@@ -129,12 +186,14 @@ class FusedEnsemblePredictor:
 
                 def put(c, i):
                     o = chunk_origins[i]
-                    cur = lax.dynamic_slice(c, (o[0], o[1]), (tile, tile))
+                    cur = lax.dynamic_slice(
+                        c, (o[0], o[1], o[2]), (1, tile, tile)
+                    )
                     # per-bit OR over overlapping tiles == the reference's
                     # accumulate-then->=1 per model (predict.py:113-114)
                     return (
                         lax.dynamic_update_slice(
-                            c, cur | packed[i], (o[0], o[1])
+                            c, cur | packed[i][None], (o[0], o[1], o[2])
                         ),
                         None,
                     )
@@ -146,78 +205,112 @@ class FusedEnsemblePredictor:
             if not runtime_hw:
                 # crop the pad margin ON DEVICE: the host fetch is the
                 # pipeline's down-link bottleneck, don't ship pad bytes
-                mask_canvas = mask_canvas[:h, :w]
-            return mask_canvas
+                mask_canvas = mask_canvas[:, :h, :w]
+            # ship 8 pixels per byte: bitplane packing cuts the download to
+            # 0.625 B/px (5 members) through the ~30 MB/s tunnel
+            return _pack_bitplanes(mask_canvas, len(self.names))
 
         return jax.jit(run)
 
-    def _stage(self, image_rgb: np.ndarray, plan):
-        """(compiled_fn, staged device args) for one scene."""
-        h, w = image_rgb.shape[:2]
+    # -- staging -----------------------------------------------------------
+    def _stage_group(self, images: List[np.ndarray], plan):
+        """(compiled_fn, staged device args) for one same-shape scene group."""
+        n = len(images)
         if self.cfg.bucket_sizes:
-            fn = self._compiled(0, 0, plan.canvas_h, plan.canvas_w, plan.num_tiles)
-            staged = np.zeros((plan.canvas_h, plan.canvas_w, 3), np.uint8)
-            staged[:h, :w] = image_rgb
+            fn = self._compiled(
+                0, 0, plan.canvas_h, plan.canvas_w, plan.num_tiles, n
+            )
+            staged = np.zeros((n, plan.canvas_h, plan.canvas_w, 3), np.uint8)
+            hw = np.zeros((n, 2), np.int32)
+            for i, img in enumerate(images):
+                ih, iw = img.shape[:2]
+                staged[i, :ih, :iw] = img
+                hw[i] = (ih, iw)
         else:
-            fn = self._compiled(h, w, plan.canvas_h, plan.canvas_w, plan.num_tiles)
-            staged = image_rgb
+            ih, iw = images[0].shape[:2]
+            fn = self._compiled(
+                ih, iw, plan.canvas_h, plan.canvas_w, plan.num_tiles, n
+            )
+            staged = np.stack(images)
+            hw = np.broadcast_to(np.array([ih, iw], np.int32), (n, 2))
         return fn, (
             jnp.asarray(staged),
             T.origins_array(plan),
-            jnp.asarray([h, w], jnp.int32),
+            jnp.asarray(hw),
         )
 
-    def _run_packed(self, image_rgb: np.ndarray) -> np.ndarray:
-        """(H, W) uint8 with one mask bit per ensemble member."""
+    def _group_size(self, num_tiles: int) -> int:
+        """Scenes per dispatch: fill the tile budget with same-shape scenes."""
+        return max(1, self.batch_tiles // max(num_tiles, 1))
+
+    def _plan(self, image_rgb: np.ndarray):
         h, w = image_rgb.shape[:2]
         plan = T.plan_tiles(h, w, self.cfg)
-        if plan.num_tiles == 0:
-            return np.zeros((h, w), np.uint8)
-        if self.cfg.bucket_sizes:
+        if plan.num_tiles and self.cfg.bucket_sizes:
             plan = T.bucket_plan(plan, self.cfg)
-        fn, staged = self._stage(image_rgb, plan)
-        packed = fn(self.params, self.states, *staged)
-        return np.asarray(packed)[:h, :w]
+        return plan
 
-    def predict_masks(self, image_rgb: np.ndarray) -> Dict[str, np.ndarray]:
-        packed = self._run_packed(image_rgb)
-        return {
-            name: (((packed >> bit) & 1) * np.uint8(255))
-            for bit, name in enumerate(self.names)
-        }
-
-    def predict_masks_many(self, images) -> list:
-        """Pipelined batch prediction over multiple scenes.
-
-        Dispatches every scene's program before fetching any result: the
-        device queue executes FIFO, so scene N+1's upload and launch overlap
-        scene N's compute — on tunneled/remote devices this hides most of the
-        host<->device transfer time that dominates single-scene latency.
-        """
-        pending = []
-        for image_rgb in images:
-            h, w = image_rgb.shape[:2]
-            plan = T.plan_tiles(h, w, self.cfg)
-            if plan.num_tiles == 0:
-                pending.append((None, h, w))
-                continue
-            if self.cfg.bucket_sizes:
-                plan = T.bucket_plan(plan, self.cfg)
-            fn, staged = self._stage(image_rgb, plan)
-            out = fn(self.params, self.states, *staged)
-            pending.append((out, h, w))
-        results = []
-        for out, h, w in pending:
-            if out is None:
-                packed = np.zeros((h, w), np.uint8)
-            else:
-                packed = np.asarray(out)[:h, :w]
-            results.append(
+    def _masks_from_planes(self, planes: np.ndarray, sizes) -> list:
+        """Unpack fetched bitplanes into per-scene {0,255} mask dicts."""
+        width = max(w for _, w in sizes)
+        bits = _unpack_bitplanes(planes, min(width, planes.shape[-1] * 8))
+        out = []
+        for i, (h, w) in enumerate(sizes):
+            out.append(
                 {
-                    name: (((packed >> bit) & 1) * np.uint8(255))
+                    name: bits[bit, i, :h, :w] * np.uint8(255)
                     for bit, name in enumerate(self.names)
                 }
             )
+        return out
+
+    # -- public API ---------------------------------------------------------
+    def predict_masks(self, image_rgb: np.ndarray) -> Dict[str, np.ndarray]:
+        return self.predict_masks_many([image_rgb])[0]
+
+    def predict_masks_many(self, images) -> list:
+        """Pipelined, scene-grouped batch prediction.
+
+        Same-shape scenes are grouped to fill ``batch_tiles`` (one dispatch
+        per group), and every group's program is dispatched before any result
+        is fetched: the device queue executes FIFO, so group N+1's upload and
+        launch overlap group N's compute — on tunneled/remote devices this
+        hides most of the host<->device transfer time.
+        """
+        # group scene indices by program shape, preserving result order
+        groups: Dict[tuple, list] = {}
+        plans = []
+        for idx, img in enumerate(images):
+            plan = self._plan(img)
+            plans.append(plan)
+            if plan.num_tiles == 0:
+                continue
+            key = (plan.canvas_h, plan.canvas_w, plan.num_tiles, img.shape[:2]
+                   if not self.cfg.bucket_sizes else None)
+            groups.setdefault(key, []).append(idx)
+
+        pending = []  # (indices, device_output, sizes)
+        for key, idxs in groups.items():
+            plan = plans[idxs[0]]
+            size = self._group_size(plan.num_tiles)
+            for start in range(0, len(idxs), size):
+                part = idxs[start : start + size]
+                imgs = [images[i] for i in part]
+                fn, staged = self._stage_group(imgs, plan)
+                out = fn(self.params, self.states, *staged)
+                pending.append((part, out, [im.shape[:2] for im in imgs]))
+
+        results: list = [None] * len(images)
+        for part, out, sizes in pending:
+            planes = np.asarray(out)
+            masks = self._masks_from_planes(planes, sizes)
+            for i, m in zip(part, masks):
+                results[i] = m
+        for idx, img in enumerate(images):  # degenerate no-tile scenes
+            if results[idx] is None:
+                h, w = img.shape[:2]
+                zero = np.zeros((h, w), np.uint8)
+                results[idx] = {name: zero.copy() for name in self.names}
         return results
 
     def predict_vote(
@@ -226,9 +319,8 @@ class FusedEnsemblePredictor:
         """Fast path: plain 3-of-5 vote without the reference's per-model
         morphological cleanup (`model_fuse.py:285-313`) — NOT mask-parity
         with the reference; use the Pipeline for that."""
-        packed = self._run_packed(image_rgb)
+        masks = self.predict_masks(image_rgb)
         votes = sum(
-            ((packed >> bit) & 1).astype(np.int32)
-            for bit in range(len(self.names))
+            (masks[name] > 0).astype(np.int32) for name in self.names
         )
         return np.where(votes >= threshold, 255, 0).astype(np.uint8)

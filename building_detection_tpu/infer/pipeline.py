@@ -53,7 +53,7 @@ class Pipeline:
         self,
         weights: Optional[Dict[str, str]] = None,
         cfg: Config = Config(),
-        batch_tiles: int = 36,
+        batch_tiles: int = 128,
         compute_dtype=jnp.bfloat16,
         models: tuple = ENSEMBLE_ORDER,
         seed: int = 0,
@@ -65,11 +65,12 @@ class Pipeline:
         scene shape (bit-identical to per-model execution, fewer dispatches,
         shared tile gather); ``mesh`` shards tile batches over its data axis.
 
-        ``batch_tiles=36`` (one 2048x2048 scene's tile grid per chunk) was
-        measured fastest on v5e: chunking at 8/12/18 costs 20-30% (extra
-        scan steps), and lax.map sub-chunking inside the program is slower
-        still; per-model profiles (bench r2) show the MXU-lane ceiling, not
-        batch size, limits per-model MFU."""
+        ``batch_tiles=128`` saturates the v5e MXU (clean on-device profiles,
+        bench r2: the ensemble forward runs 47.6 tiles/s at batch 36 but
+        74.5 at batch 128 — the 512x512x64 stem convs lay out with batch as
+        the MXU lane dimension, so smaller batches underfill the array).
+        Single scenes smaller than the budget still run at their own tile
+        count; ``predict_images`` groups same-shape scenes to fill it."""
         self.cfg = cfg
         weights = weights or {}
         members = {}

@@ -82,3 +82,80 @@ class TestPipelinedBatch:
             assert set(got) == set(ref)
             for k in ref:
                 np.testing.assert_array_equal(got[k], ref[k])
+
+
+class TestSceneGrouping:
+    def test_grouped_matches_per_scene(self):
+        """Same-shape scenes grouped into one dispatch == per-scene results."""
+        members = make_members()
+        rng = np.random.RandomState(7)
+        scenes = [rng.randint(0, 256, (56, 80, 3), np.uint8) for _ in range(5)]
+        # 56x80 -> 2x3=6 tiles/scene (tile 32, stride 24); budget 20 -> S=3
+        grouped = FusedEnsemblePredictor(
+            members, CFG, batch_tiles=20, compute_dtype=jnp.float32
+        )
+        assert grouped._group_size(6) == 3  # groups of 3+2 scenes
+        single = FusedEnsemblePredictor(
+            members, CFG, batch_tiles=6, compute_dtype=jnp.float32
+        )
+        got = grouped.predict_masks_many(scenes)
+        for scene, g in zip(scenes, got):
+            ref = single.predict_masks(scene)
+            for k in ref:
+                np.testing.assert_array_equal(g[k], ref[k])
+
+    def test_grouping_mixed_shapes_preserves_order(self):
+        """Different-shape scenes interleaved: results return in input order."""
+        members = make_members()
+        rng = np.random.RandomState(8)
+        shapes = [(56, 80), (40, 40), (56, 80), (40, 40), (56, 80)]
+        scenes = [rng.randint(0, 256, (h, w, 3), np.uint8) for h, w in shapes]
+        fused = FusedEnsemblePredictor(
+            members, CFG, batch_tiles=24, compute_dtype=jnp.float32
+        )
+        got = fused.predict_masks_many(scenes)
+        for scene, g in zip(scenes, got):
+            assert g["a"].shape == scene.shape[:2]
+            ref = fused.predict_masks(scene)
+            for k in ref:
+                np.testing.assert_array_equal(g[k], ref[k])
+
+    def test_grouped_bucketed(self):
+        """Grouping composes with bucketed program shapes (runtime h/w)."""
+        members = make_members()
+        cfg = TilerConfig(tile=32, stride=24, overlap=8, bucket_sizes=True)
+        rng = np.random.RandomState(9)
+        # same bucket, different real extents -> one group, runtime hw
+        scenes = [
+            rng.randint(0, 256, (56, 80, 3), np.uint8),
+            rng.randint(0, 256, (50, 70, 3), np.uint8),
+        ]
+        fused = FusedEnsemblePredictor(
+            members, cfg, batch_tiles=64, compute_dtype=jnp.float32
+        )
+        got = fused.predict_masks_many(scenes)
+        single = FusedEnsemblePredictor(
+            members, cfg, batch_tiles=6, compute_dtype=jnp.float32
+        )
+        for scene, g in zip(scenes, got):
+            ref = single.predict_masks(scene)
+            for k in ref:
+                np.testing.assert_array_equal(g[k], ref[k])
+
+
+class TestBitplanePacking:
+    def test_roundtrip(self):
+        from building_detection_tpu.infer.fused_ensemble import (
+            _pack_bitplanes,
+            _unpack_bitplanes,
+        )
+
+        rng = np.random.RandomState(3)
+        # widths around the byte boundary, 5 bits used per pixel
+        for w in (8, 13, 16, 21):
+            canvas = rng.randint(0, 32, (2, 5, w), np.uint8)
+            planes = np.asarray(_pack_bitplanes(jnp.asarray(canvas), 5))
+            assert planes.shape == (5, 2, 5, -(-w // 8))
+            bits = _unpack_bitplanes(planes, w)
+            for b in range(5):
+                np.testing.assert_array_equal(bits[b], (canvas >> b) & 1)
