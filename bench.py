@@ -20,7 +20,10 @@ Env knobs: BDT_BENCH_MODE (fused|scene|scene_mixed|ensemble|train;
 low-variance compute number; ``scene`` = end-to-end incl. the dev tunnel's
 noisy ~20-35 MB/s transfers),
 BDT_BENCH_BATCH (default 128), BDT_BENCH_ITERS (default 10),
-BDT_BENCH_MODELS (default all five), BDT_BENCH_TRAIN_BATCH (default 32).
+BDT_BENCH_MODELS (default all five), BDT_BENCH_TRAIN_BATCH (default 8 —
+the reference's own batch and the measured throughput peak: the res34
+backward is HBM-pressure-bound, so images/s DROPS with batch: 40.5 at
+batch 8, 35.4 at 16, OOM at 24).
 """
 from __future__ import annotations
 
@@ -299,7 +302,7 @@ def main() -> int:
         tps, fps = measure_scene_mixed(names, batch, iters, jnp.bfloat16)
         metric = "ensemble_mixed_scene_512_tiles_per_sec_per_chip"
     elif mode == "train":
-        train_batch = int(os.environ.get("BDT_BENCH_TRAIN_BATCH", "16"))
+        train_batch = int(os.environ.get("BDT_BENCH_TRAIN_BATCH", "8"))
         tps, fps = measure_train(names[0], train_batch, iters)
         metric = f"train_{names[0]}_512_images_per_sec"
         baseline = None
