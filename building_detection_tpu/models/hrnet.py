@@ -99,13 +99,14 @@ def hrnet(s: Scope, x: Array, num_classes: int = 2) -> Array:
     y = _conv_block(s, y, 256)
     for _ in range(3):
         y = _identity_block(s, y, 256)
+    y = L.remat_tag(y)
 
     # transition 1 -> branches at x2 (32ch) and x4 (64ch)
     t0 = _cbr(s, y, 32)
     t1 = _cbr(s, y, 64, strides=2)
     b0 = _branch(s, t0, 32)
     b1 = _branch(s, t1, 64)
-    f = _fuse_block_1(s, [b0, b1])
+    f = [L.remat_tag(v) for v in _fuse_block_1(s, [b0, b1])]
 
     # transition 2 -> add x8 (128ch)
     t0 = _cbr(s, f[0], 32)
@@ -114,7 +115,7 @@ def hrnet(s: Scope, x: Array, num_classes: int = 2) -> Array:
     b0 = _branch(s, t0, 32)
     b1 = _branch(s, t1, 64)
     b2 = _branch(s, t2, 128)
-    f = _fuse_block_2(s, [b0, b1, b2])
+    f = [L.remat_tag(v) for v in _fuse_block_2(s, [b0, b1, b2])]
 
     # transition 3 -> add x16 (256ch)
     t0 = _cbr(s, f[0], 32)
@@ -125,7 +126,7 @@ def hrnet(s: Scope, x: Array, num_classes: int = 2) -> Array:
     b1 = _branch(s, t1, 64)
     b2 = _branch(s, t2, 128)
     b3 = _branch(s, t3, 256)
-    out = _fuse_block_3(s, [b0, b1, b2, b3])
+    out = L.remat_tag(_fuse_block_3(s, [b0, b1, b2, b3]))
 
     out = L.upsample2d(out, 2)
     out = _cbr(s, out, 64)

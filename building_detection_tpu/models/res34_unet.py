@@ -49,21 +49,27 @@ def _encoder(s: Scope, x: Array):
     c1 = _bn_conv(s, c1, f, 3, "conv1_2")
     c1 = _bn_conv(s, c1, f, 3, "conv1_3")
 
+    c1 = L.remat_tag(c1)
+
     c2 = L.conv2d(s, c1, f, 1, strides=2, name="pool1")
     for i in range(3):
         c2 = _res_block(s, c2, f, f"conv2_{i}")
+    c2 = L.remat_tag(c2)
 
     c3 = L.conv2d(s, c2, f * 2, 1, strides=2, name="pool2")
     for i in range(4):
         c3 = _res_block(s, c3, f * 2, f"conv3_{i}")
+    c3 = L.remat_tag(c3)
 
     c4 = L.conv2d(s, c3, f * 4, 1, strides=2, name="pool3")
     for i in range(6):
         c4 = _res_block(s, c4, f * 4, f"conv4_{i}")
+    c4 = L.remat_tag(c4)
 
     c5 = L.conv2d(s, c4, f * 8, 1, strides=2, name="pool4")
     for i in range(3):
         c5 = _res_block(s, c5, f * 8, f"conv5_{i}")
+    c5 = L.remat_tag(c5)
     return c1, c2, c3, c4, c5
 
 
@@ -102,10 +108,10 @@ def res34_unet(s: Scope, x: Array) -> Array:
     c4 = se_block(s, c4)
     c5 = se_block(s, c5)
 
-    up4 = _upsample_feature(s, c4, c5, name="4")
-    up3 = _upsample_feature(s, c3, up4, name="3")
-    up2 = _upsample_feature(s, c2, up3, name="2")
-    up1 = _upsample_feature(s, c1, up2, name="1")
+    up4 = L.remat_tag(_upsample_feature(s, c4, c5, name="4"))
+    up3 = L.remat_tag(_upsample_feature(s, c3, up4, name="3"))
+    up2 = L.remat_tag(_upsample_feature(s, c2, up3, name="2"))
+    up1 = L.remat_tag(_upsample_feature(s, c1, up2, name="1"))
 
     out = L.conv2d(s, up1, 64, 3, activation="relu", kernel_init=L.he_normal)
     out = L.conv2d(s, out, 2, 3, activation="softmax", kernel_init=L.he_normal)

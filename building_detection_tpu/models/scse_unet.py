@@ -25,11 +25,11 @@ def scse_unet(s: Scope, x: Array, num_classes: int = 2) -> Array:
         y = L.conv2d(s, y, ch, 3, activation="relu")
         return y
 
-    c1 = double_conv(x, 64)
-    c2 = double_conv(L.max_pool(c1), 128)
-    c3 = double_conv(L.max_pool(c2), 256)
-    c4 = double_conv(L.max_pool(c3), 512)
-    c5 = double_conv(L.max_pool(c4), 1024)
+    c1 = L.remat_tag(double_conv(x, 64))
+    c2 = L.remat_tag(double_conv(L.max_pool(c1), 128))
+    c3 = L.remat_tag(double_conv(L.max_pool(c2), 256))
+    c4 = L.remat_tag(double_conv(L.max_pool(c3), 512))
+    c5 = L.remat_tag(double_conv(L.max_pool(c4), 1024))
 
     def up_stage(y: Array, skip: Array, ch: int) -> Array:
         up = L.conv2d_transpose(s, y, ch, 3, strides=2, activation="relu")
@@ -37,9 +37,9 @@ def scse_unet(s: Scope, x: Array, num_classes: int = 2) -> Array:
         y = double_conv(y, ch)
         return scse_block(s, y)
 
-    d1 = up_stage(c5, c4, 512)
-    d2 = up_stage(d1, c3, 256)
-    d3 = up_stage(d2, c2, 128)
-    d4 = up_stage(d3, c1, 64)
+    d1 = L.remat_tag(up_stage(c5, c4, 512))
+    d2 = L.remat_tag(up_stage(d1, c3, 256))
+    d3 = L.remat_tag(up_stage(d2, c2, 128))
+    d4 = L.remat_tag(up_stage(d3, c1, 64))
 
     return L.conv2d(s, d4, num_classes, 1, activation="softmax")

@@ -70,7 +70,7 @@ def _backbone(s: Scope, x: Array, use_bam: bool) -> List[Array]:
     x = _sep_bn(s, x, 128)
     x = L.max_pool(x, pool_size=3, strides=2, padding="SAME")
     x = x + residual
-    c1 = x  # x4
+    c1 = x = L.remat_tag(x)  # x4
     if use_bam:
         x = bam_attention(s, x)
 
@@ -83,7 +83,7 @@ def _backbone(s: Scope, x: Array, use_bam: bool) -> List[Array]:
     x = L.relu(x)
     x = _sep_bn(s, x, 256, strides=2)
     x = x + residual
-    c2 = x  # x8
+    c2 = x = L.remat_tag(x)  # x8
     if use_bam:
         x = bam_attention(s, x)
 
@@ -96,10 +96,10 @@ def _backbone(s: Scope, x: Array, use_bam: bool) -> List[Array]:
     x = L.relu(x)
     x = _sep_bn(s, x, 728, strides=2)
     x = x + residual
-    c3 = x  # x16
+    c3 = x = L.remat_tag(x)  # x16
 
     # middle flow: 16 residual separable blocks at 728 channels
-    for _ in range(16):
+    for block in range(16):
         residual = x
         x = L.relu(x)
         x = _sep_bn(s, x, 728)
@@ -108,6 +108,8 @@ def _backbone(s: Scope, x: Array, use_bam: bool) -> List[Array]:
         x = L.relu(x)
         x = _sep_bn(s, x, 728)
         x = x + residual
+        if block % 4 == 3:
+            x = L.remat_tag(x)
     c4 = x
     if use_bam:
         x = bam_attention(s, x)
@@ -128,7 +130,7 @@ def _backbone(s: Scope, x: Array, use_bam: bool) -> List[Array]:
     x = L.relu(x)
     x = _sep_bn(s, x, 2048)
     x = L.relu(x)
-    c5 = x
+    c5 = L.remat_tag(x)
     return [c, c1, c2, c3, c4, c5]
 
 
@@ -161,25 +163,25 @@ def deeplab_v3p(s: Scope, x: Array, num_classes: int = 2) -> Array:
     """Plain Xception-DeepLabv3+ (`v3plus.py:170-350`)."""
     c, c1, c2, c3, c4, c5 = _backbone(s, x, use_bam=False)
     del c3, c4
-    y = _head(s, c5)
+    y = L.remat_tag(_head(s, c5))
 
     up1 = L.upsample2d(y, 2)
     y = jnp.concatenate([up1, c2], axis=-1)
     y = _cbr(s, y, 256, 3)
     y = _cbr(s, y, 256, 3)
-    y = scse_block(s, y)
+    y = L.remat_tag(scse_block(s, y))
 
     up2 = L.conv2d_transpose(s, y, 128, 3, strides=2)
     y = jnp.concatenate([up2, c1], axis=-1)
     y = _cbr(s, y, 128, 3)
     y = _cbr(s, y, 128, 3)
-    y = scse_block(s, y)
+    y = L.remat_tag(scse_block(s, y))
 
     up3 = L.conv2d_transpose(s, y, 64, 3, strides=2)
     y = jnp.concatenate([c, up3], axis=-1)
     y = _cbr(s, y, 64, 3)
     y = _cbr(s, y, 64, 3)
-    y = scse_block(s, y)
+    y = L.remat_tag(scse_block(s, y))
 
     y = L.upsample2d(y, 2)
     y = _cbr(s, y, 32, 3)
@@ -191,19 +193,19 @@ def deeplab_v3p_bam(s: Scope, x: Array, num_classes: int = 2) -> Array:
     """BAM-augmented Xception-DeepLabv3+ (`bam.py:170-338`)."""
     c, c1, c2, c3, c4, c5 = _backbone(s, x, use_bam=True)
     del c, c3, c4
-    y = _head(s, c5)
+    y = L.remat_tag(_head(s, c5))
 
     y = L.upsample2d(y, 2)
     y = jnp.concatenate([c2, y], axis=-1)
     y = _cbr(s, y, 128, 3)
     y = _cbr(s, y, 128, 3)
-    y = scse_block(s, y)
+    y = L.remat_tag(scse_block(s, y))
     y = L.upsample2d(y, 2)
 
     y = jnp.concatenate([c1, y], axis=-1)
     y = _cbr(s, y, 64, 3)
     y = _cbr(s, y, 64, 3)
-    y = scse_block(s, y)
+    y = L.remat_tag(scse_block(s, y))
 
     y = L.upsample2d(y, 4)
     return L.conv2d(s, y, num_classes, 1, activation="softmax")

@@ -300,6 +300,24 @@ def upsample2d(x: Array, size: Union[int, Tuple[int, int]] = 2) -> Array:
     return x
 
 
+def remat_tag(x: Array, name: str = "stage") -> Array:
+    """Tag a stage boundary for selective rematerialisation.
+
+    Identity in every forward path.  Under ``Trainer(remat=True)`` the whole
+    forward is wrapped in ``jax.checkpoint(policy=save_only_these_names
+    ('stage'))``: only tagged values are SAVED for the backward and
+    everything between tags is recomputed stage-by-stage — true per-stage
+    remat without restructuring the model functions (a naked
+    ``jax.checkpoint`` around the whole forward recomputes every
+    intermediate before the backward and saves no peak memory; measured,
+    BASELINE.md).  Tags create no parameters, so the Keras ``.h5``
+    importer's construction-order tape is unaffected.
+    """
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, name)
+
+
 def relu(x: Array) -> Array:
     return jax.nn.relu(x)
 

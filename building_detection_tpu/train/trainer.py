@@ -75,10 +75,16 @@ class Trainer:
         seed: int = 0,
         remat: bool = False,
     ):
-        """``remat=True`` rematerialises the forward pass during backward
-        (``jax.checkpoint``), trading ~1/3 more FLOPs for activation memory —
-        the standard TPU lever for fitting larger batches in HBM (a res34
-        fwd+bwd step at 512^2 OOMs one v5e chip at batch 32 without it)."""
+        """``remat=True`` enables per-stage rematerialisation: the forward is
+        wrapped in ``jax.checkpoint(policy=save_only_these_names('stage'))``,
+        so only the stage boundaries the models tag via
+        :func:`nn.layers.remat_tag` are saved for the backward and everything
+        between tags is recomputed.  Measured on v5e (BASELINE.md): XLA's own
+        HLO rematerializer already performs this trade, so neither this nor a
+        policy-less whole-forward checkpoint reduces peak HBM there — batch 8
+        (the reference's config) is the throughput peak without remat.  The
+        option stays for backends where the trade-off differs; numerics are
+        identical either way (pinned by tests/test_train.py)."""
         self.model_name = model_name if isinstance(model_name, str) else getattr(model_name, "__name__", "custom")
         self.model_fn = (
             MODEL_REGISTRY[model_name] if isinstance(model_name, str) else model_name
@@ -122,7 +128,12 @@ class Trainer:
                     )
 
                 if remat:
-                    fwd = jax.checkpoint(fwd)
+                    fwd = jax.checkpoint(
+                        fwd,
+                        policy=jax.checkpoint_policies.save_only_these_names(
+                            "stage"
+                        ),
+                    )
                 probs, new_state = fwd(p, x)
                 probs = probs.astype(jnp.float32)
                 return loss_fn(y_true, probs), (probs, new_state)
