@@ -268,16 +268,19 @@ class FusedEnsemblePredictor:
     def predict_masks(self, image_rgb: np.ndarray) -> Dict[str, np.ndarray]:
         return self.predict_masks_many([image_rgb])[0]
 
-    def predict_masks_many(self, images) -> list:
-        """Pipelined, scene-grouped batch prediction.
+    def predict_masks_iter(self, images):
+        """Dispatch everything, then yield ``(index, masks)`` as fetched.
 
         Same-shape scenes are grouped to fill ``batch_tiles`` (one dispatch
-        per group), and every group's program is dispatched before any result
-        is fetched: the device queue executes FIFO, so group N+1's upload and
-        launch overlap group N's compute — on tunneled/remote devices this
-        hides most of the host<->device transfer time.
+        per group), and every group's program is dispatched EAGERLY before
+        the iterator is returned: the device queue executes FIFO, so group
+        N+1's upload and launch overlap group N's compute.  Consumers that
+        post-process between ``next()`` calls (fusion, polygon extraction —
+        `infer/pipeline.py::predict_images`) overlap that host work with the
+        remaining groups' device compute for free.  Yield order is fetch
+        (dispatch) order, not input order — use the index.
         """
-        # group scene indices by program shape, preserving result order
+        # group scene indices by program shape
         groups: Dict[tuple, list] = {}
         plans = []
         for idx, img in enumerate(images):
@@ -300,17 +303,29 @@ class FusedEnsemblePredictor:
                 out = fn(self.params, self.states, *staged)
                 pending.append((part, out, [im.shape[:2] for im in imgs]))
 
-        results: list = [None] * len(images)
-        for part, out, sizes in pending:
-            planes = np.asarray(out)
-            masks = self._masks_from_planes(planes, sizes)
-            for i, m in zip(part, masks):
-                results[i] = m
-        for idx, img in enumerate(images):  # degenerate no-tile scenes
-            if results[idx] is None:
-                h, w = img.shape[:2]
+        degenerate = [
+            (idx, img.shape[:2])
+            for idx, img in enumerate(images)
+            if plans[idx].num_tiles == 0
+        ]
+
+        def fetch():
+            for part, out, sizes in pending:
+                planes = np.asarray(out)
+                masks = self._masks_from_planes(planes, sizes)
+                for i, m in zip(part, masks):
+                    yield i, m
+            for idx, (h, w) in degenerate:
                 zero = np.zeros((h, w), np.uint8)
-                results[idx] = {name: zero.copy() for name in self.names}
+                yield idx, {name: zero.copy() for name in self.names}
+
+        return fetch()
+
+    def predict_masks_many(self, images) -> list:
+        """Pipelined, scene-grouped batch prediction; results in input order."""
+        results: list = [None] * len(images)
+        for idx, masks in self.predict_masks_iter(images):
+            results[idx] = masks
         return results
 
     def predict_vote(

@@ -140,21 +140,33 @@ class Pipeline:
 
     def predict_images(self, images: List[np.ndarray]) -> List[PredictResult]:
         """Batch prediction: device work for all scenes is pipelined (uploads
-        and downloads overlap compute), host post-processing runs per scene."""
-        if hasattr(self.ensemble, "predict_masks_many"):
-            with self.timer.stage("ensemble_forward"):
-                all_masks = self.ensemble.predict_masks_many(images)
-        else:
-            all_masks = [self.ensemble.predict_masks(img) for img in images]
-        results = []
-        for masks in all_masks:
+        and downloads overlap compute), and host post-processing of each
+        fetched scene overlaps the remaining scenes' device compute (the
+        ensemble dispatches everything before the first fetch —
+        ``predict_masks_iter``)."""
+        def post(masks) -> PredictResult:
             with self.timer.stage("fusion"):
                 fused = F.fuse_masks(
                     [masks[k] for k in sorted(masks)], self.cfg.fuse
                 )
             with self.timer.stage("polygons"):
                 corners, height = E.extract_polygons(fused, self.cfg.edge)
-            results.append(PredictResult(masks, fused, corners, height))
+            return PredictResult(masks, fused, corners, height)
+
+        results: List[Optional[PredictResult]] = [None] * len(images)
+        if hasattr(self.ensemble, "predict_masks_iter"):
+            with self.timer.stage("ensemble_forward"):
+                it = self.ensemble.predict_masks_iter(images)
+            for idx, masks in it:
+                results[idx] = post(masks)
+        elif hasattr(self.ensemble, "predict_masks_many"):
+            with self.timer.stage("ensemble_forward"):
+                all_masks = self.ensemble.predict_masks_many(images)
+            results = [post(m) for m in all_masks]
+        else:
+            results = [
+                post(self.ensemble.predict_masks(img)) for img in images
+            ]
         return results
 
     def predict_file(

@@ -159,3 +159,26 @@ class TestBitplanePacking:
             bits = _unpack_bitplanes(planes, w)
             for b in range(5):
                 np.testing.assert_array_equal(bits[b], (canvas >> b) & 1)
+
+
+class TestMasksIter:
+    def test_iter_covers_all_indices_any_order(self):
+        members = make_members()
+        rng = np.random.RandomState(11)
+        scenes = [
+            rng.randint(0, 256, (56, 80, 3), np.uint8),
+            np.zeros((4, 4, 3), np.uint8),  # degenerate
+            rng.randint(0, 256, (40, 40, 3), np.uint8),
+            rng.randint(0, 256, (56, 80, 3), np.uint8),
+        ]
+        fused = FusedEnsemblePredictor(
+            members, CFG, batch_tiles=12, compute_dtype=jnp.float32
+        )
+        seen = {}
+        for idx, masks in fused.predict_masks_iter(scenes):
+            seen[idx] = masks
+        assert sorted(seen) == [0, 1, 2, 3]
+        many = fused.predict_masks_many(scenes)
+        for i in range(4):
+            for k in many[i]:
+                np.testing.assert_array_equal(seen[i][k], many[i][k])
