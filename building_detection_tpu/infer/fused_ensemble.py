@@ -243,6 +243,20 @@ class FusedEnsemblePredictor:
         """Scenes per dispatch: fill the tile budget with same-shape scenes."""
         return max(1, self.batch_tiles // max(num_tiles, 1))
 
+    # every group size is one compiled program shape; quantizing to 3-smooth
+    # sizes bounds the shape count (a serving batcher would otherwise compile
+    # a fresh program for every queue length it ever drains)
+    _GROUP_SIZES = (32, 24, 16, 12, 8, 6, 4, 3, 2, 1)
+
+    def _split_group(self, count: int, cap: int) -> List[int]:
+        """Split ``count`` same-shape scenes into allowed group sizes <= cap."""
+        out: List[int] = []
+        while count > 0:
+            c = next(g for g in self._GROUP_SIZES if g <= min(count, cap))
+            out.append(c)
+            count -= c
+        return out
+
     def _plan(self, image_rgb: np.ndarray):
         h, w = image_rgb.shape[:2]
         plan = T.plan_tiles(h, w, self.cfg)
@@ -295,9 +309,11 @@ class FusedEnsemblePredictor:
         pending = []  # (indices, device_output, sizes)
         for key, idxs in groups.items():
             plan = plans[idxs[0]]
-            size = self._group_size(plan.num_tiles)
-            for start in range(0, len(idxs), size):
+            cap = self._group_size(plan.num_tiles)
+            start = 0
+            for size in self._split_group(len(idxs), cap):
                 part = idxs[start : start + size]
+                start += size
                 imgs = [images[i] for i in part]
                 fn, staged = self._stage_group(imgs, plan)
                 out = fn(self.params, self.states, *staged)

@@ -41,8 +41,11 @@ class StageTimer:
     """
 
     def __init__(self):
+        import threading
+
         self._acc: "OrderedDict[str, float]" = OrderedDict()
         self._calls: Dict[str, int] = {}
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str, sync_on=None):
@@ -53,8 +56,9 @@ class StageTimer:
             if sync_on is not None:
                 sync(sync_on)
             dt = time.perf_counter() - t0
-            self._acc[name] = self._acc.get(name, 0.0) + dt
-            self._calls[name] = self._calls.get(name, 0) + 1
+            with self._lock:  # stages may run on post-processing pool threads
+                self._acc[name] = self._acc.get(name, 0.0) + dt
+                self._calls[name] = self._calls.get(name, 0) + 1
 
     def summary(self) -> Dict[str, Dict[str, float]]:
         return {

@@ -182,3 +182,21 @@ class TestMasksIter:
         for i in range(4):
             for k in many[i]:
                 np.testing.assert_array_equal(seen[i][k], many[i][k])
+
+
+class TestGroupSizeQuantization:
+    def test_split_group_sizes_bounded(self):
+        members = make_members()
+        fused = FusedEnsemblePredictor(
+            members, CFG, batch_tiles=128, compute_dtype=jnp.float32
+        )
+        allowed = set(fused._GROUP_SIZES)
+        for count in range(1, 40):
+            for cap in (1, 2, 3, 5, 8, 21):
+                parts = fused._split_group(count, cap)
+                assert sum(parts) == count
+                assert all(p in allowed and p <= cap for p in parts)
+        # the 2048^2 bench shape: 10 scenes at cap 3 -> 3+3+3+1 (unchanged)
+        assert fused._split_group(10, 3) == [3, 3, 3, 1]
+        # serving shape: 8 queued small scenes fit one group
+        assert fused._split_group(8, 21) == [8]
