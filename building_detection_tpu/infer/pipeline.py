@@ -138,20 +138,17 @@ class Pipeline:
             corners, height = E.extract_polygons(fused, self.cfg.edge)
         return PredictResult(masks, fused, corners, height)
 
-    def predict_images(
-        self, images: List[np.ndarray], post_pool=None
-    ) -> List[PredictResult]:
+    def predict_images(self, images: List[np.ndarray]) -> List[PredictResult]:
         """Batch prediction: device work for all scenes is pipelined (uploads
         and downloads overlap compute), and host post-processing of each
         fetched scene overlaps the remaining scenes' device compute (the
         ensemble dispatches everything before the first fetch —
         ``predict_masks_iter``).
 
-        ``post_pool``: optional ``concurrent.futures.Executor``.  Fusion and
-        polygon extraction are numpy + native-geometry work that releases the
-        GIL, so for many small scenes (the serving micro-batch shape) running
-        them on pool threads overlaps the per-scene host post-processing too
-        — the device batches the scenes either way."""
+        Post-processing stays SEQUENTIAL by design: fusion is many small
+        numpy ops that hold the GIL, and fanning it out to a thread pool was
+        measured 4-7x SLOWER per call under contention (GIL convoying;
+        BASELINE.md round-2 serving notes)."""
         def post(masks) -> PredictResult:
             with self.timer.stage("fusion"):
                 fused = F.fuse_masks(
@@ -165,15 +162,8 @@ class Pipeline:
         if hasattr(self.ensemble, "predict_masks_iter"):
             with self.timer.stage("ensemble_forward"):
                 it = self.ensemble.predict_masks_iter(images)
-            if post_pool is not None:
-                futures = [
-                    (idx, post_pool.submit(post, masks)) for idx, masks in it
-                ]
-                for idx, fut in futures:
-                    results[idx] = fut.result()
-            else:
-                for idx, masks in it:
-                    results[idx] = post(masks)
+            for idx, masks in it:
+                results[idx] = post(masks)
         elif hasattr(self.ensemble, "predict_masks_many"):
             with self.timer.stage("ensemble_forward"):
                 all_masks = self.ensemble.predict_masks_many(images)

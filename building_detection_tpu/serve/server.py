@@ -99,17 +99,9 @@ class _MicroBatcher:
     calls for pipelines without ``predict_images``.
     """
 
-    def __init__(self, pipeline, max_batch: int = 16, post_workers: int = 4):
+    def __init__(self, pipeline, max_batch: int = 16):
         self.pipeline = pipeline
         self.max_batch = max_batch
-        # fusion/polygons are GIL-releasing numpy + native geometry: a small
-        # pool overlaps the per-scene host post-processing across a batch
-        self._post_pool = (
-            __import__("concurrent.futures", fromlist=["ThreadPoolExecutor"])
-            .ThreadPoolExecutor(max_workers=post_workers)
-            if post_workers > 1
-            else None
-        )
         self._queue: List[_Job] = []
         self._cv = threading.Condition()
         self._closed = False
@@ -146,17 +138,8 @@ class _MicroBatcher:
                 )
             try:
                 if len(jobs) > 1 and hasattr(self.pipeline, "predict_images"):
-                    import inspect
-
-                    kw = {}
-                    if self._post_pool is not None and "post_pool" in (
-                        inspect.signature(
-                            self.pipeline.predict_images
-                        ).parameters
-                    ):
-                        kw["post_pool"] = self._post_pool
                     results = self.pipeline.predict_images(
-                        [j.image for j in jobs], **kw
+                        [j.image for j in jobs]
                     )
                     for job, res in zip(jobs, results):
                         job.result = res
