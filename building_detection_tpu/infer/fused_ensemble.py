@@ -282,14 +282,17 @@ class FusedEnsemblePredictor:
     def predict_masks(self, image_rgb: np.ndarray) -> Dict[str, np.ndarray]:
         return self.predict_masks_many([image_rgb])[0]
 
-    def predict_masks_iter(self, images):
-        """Dispatch everything, then yield ``(index, masks)`` as fetched.
+    def predict_masks_iter(self, images, max_in_flight: int = 8):
+        """Dispatch ahead, yield ``(index, masks)`` as fetched.
 
         Same-shape scenes are grouped to fill ``batch_tiles`` (one dispatch
-        per group), and every group's program is dispatched EAGERLY before
-        the iterator is returned: the device queue executes FIFO, so group
-        N+1's upload and launch overlap group N's compute.  Consumers that
-        post-process between ``next()`` calls (fusion, polygon extraction —
+        per group).  Up to ``max_in_flight`` groups are staged + dispatched
+        ahead of the fetch point: the device queue executes FIFO, so later
+        groups' uploads and launches overlap earlier groups' compute, while
+        the bound keeps queued input canvases from exhausting HBM on huge
+        scene batches (each in-flight group holds its staged scenes + packed
+        output on device).  Consumers that post-process between ``next()``
+        calls (fusion, polygon extraction —
         `infer/pipeline.py::predict_images`) overlap that host work with the
         remaining groups' device compute for free.  Yield order is fetch
         (dispatch) order, not input order — use the index.
@@ -306,18 +309,14 @@ class FusedEnsemblePredictor:
                    if not self.cfg.bucket_sizes else None)
             groups.setdefault(key, []).append(idx)
 
-        pending = []  # (indices, device_output, sizes)
+        parts = []  # (scene indices, plan) per dispatch
         for key, idxs in groups.items():
             plan = plans[idxs[0]]
             cap = self._group_size(plan.num_tiles)
             start = 0
             for size in self._split_group(len(idxs), cap):
-                part = idxs[start : start + size]
+                parts.append((idxs[start : start + size], plan))
                 start += size
-                imgs = [images[i] for i in part]
-                fn, staged = self._stage_group(imgs, plan)
-                out = fn(self.params, self.states, *staged)
-                pending.append((part, out, [im.shape[:2] for im in imgs]))
 
         degenerate = [
             (idx, img.shape[:2])
@@ -325,8 +324,22 @@ class FusedEnsemblePredictor:
             if plans[idx].num_tiles == 0
         ]
 
-        def fetch():
-            for part, out, sizes in pending:
+        def dispatch(part, plan):
+            imgs = [images[i] for i in part]
+            fn, staged = self._stage_group(imgs, plan)
+            out = fn(self.params, self.states, *staged)
+            return (part, out, [im.shape[:2] for im in imgs])
+
+        max_in_flight = max(1, max_in_flight)
+        pending = [dispatch(*p) for p in parts[:max_in_flight]]
+
+        def run():
+            next_up = max_in_flight
+            while pending:
+                part, out, sizes = pending.pop(0)
+                if next_up < len(parts):  # keep the window full
+                    pending.append(dispatch(*parts[next_up]))
+                    next_up += 1
                 planes = np.asarray(out)
                 masks = self._masks_from_planes(planes, sizes)
                 for i, m in zip(part, masks):
@@ -335,12 +348,12 @@ class FusedEnsemblePredictor:
                 zero = np.zeros((h, w), np.uint8)
                 yield idx, {name: zero.copy() for name in self.names}
 
-        return fetch()
+        return run()
 
-    def predict_masks_many(self, images) -> list:
+    def predict_masks_many(self, images, max_in_flight: int = 8) -> list:
         """Pipelined, scene-grouped batch prediction; results in input order."""
         results: list = [None] * len(images)
-        for idx, masks in self.predict_masks_iter(images):
+        for idx, masks in self.predict_masks_iter(images, max_in_flight):
             results[idx] = masks
         return results
 

@@ -200,3 +200,21 @@ class TestGroupSizeQuantization:
         assert fused._split_group(10, 3) == [3, 3, 3, 1]
         # serving shape: 8 queued small scenes fit one group
         assert fused._split_group(8, 21) == [8]
+
+
+class TestInFlightWindow:
+    def test_small_window_matches_unbounded(self):
+        members = make_members()
+        rng = np.random.RandomState(13)
+        scenes = [
+            rng.randint(0, 256, (56, 80, 3), np.uint8) for _ in range(5)
+        ] + [np.zeros((4, 4, 3), np.uint8)]
+        fused = FusedEnsemblePredictor(
+            members, CFG, batch_tiles=12, compute_dtype=jnp.float32
+        )
+        ref = fused.predict_masks_many(scenes, max_in_flight=64)
+        for window in (1, 2):
+            got = fused.predict_masks_many(scenes, max_in_flight=window)
+            for r, g in zip(ref, got):
+                for k in r:
+                    np.testing.assert_array_equal(g[k], r[k])
