@@ -17,6 +17,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split-dir", help="if set, write train/val split under this dir")
     p.add_argument("--split-rate", type=float, default=0.9)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument(
+        "--copy-paste",
+        action="store_true",
+        help="also run the instance-transplant augmentation the reference "
+        "describes but never implemented (data_enhancement.py:17-21): "
+        "buildings from (7.5%%, 20%%]-coverage donors are copied into "
+        "<=7.5%%-coverage recipients",
+    )
     return p
 
 
@@ -30,6 +38,9 @@ def main(argv=None) -> int:
     )
     n = builder.run()
     print(f"wrote {n} augmented pairs in {time.time() - t0:.1f}s")
+    if args.copy_paste:
+        n_cp = builder.run_copy_paste()
+        print(f"wrote {n_cp} copy-paste transplant pairs")
     if args.split_dir:
         import os
 

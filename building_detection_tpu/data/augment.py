@@ -221,6 +221,61 @@ class DatasetBuilder:
                 written += 1
         return written
 
+    def run_copy_paste(
+        self,
+        donor_range: Tuple[float, float] = (0.075, 0.20),
+        max_samples: Optional[int] = None,
+    ) -> int:
+        """Instance-transplant ("随机copy") augmentation — the step the
+        reference DESCRIBES but never implements
+        (`/root/reference/data_enhancement.py:17-21`): classify images by
+        building coverage — above 20% untouched; (7.5%, 20%] are donors
+        ("优样本"); at or below 7.5% are recipients ("劣样本") — then for
+        each recipient pick a random donor, random-scale both
+        (`random_scale_resize` semantics), and copy the donor's building
+        pixels (image and label) into the recipient.  Writes ``{stem}_5``
+        files into the save directories; returns how many were written.
+
+        Opt-in (`cli/augment.py --copy-paste`) since the reference's actual
+        behaviour omits it; thresholds are the comment's own numbers.
+        """
+        lo_cov, hi_cov = donor_range
+        cfg = self.cfg
+        entries = []  # (name, coverage)
+        for name in sorted(os.listdir(self.read_img_path)):
+            lab = self._uio.imread_gray(os.path.join(self.read_lab_path, name))
+            entries.append((name, float(np.mean(lab > 0))))
+        donors = [n for n, cov in entries if lo_cov < cov <= hi_cov]
+        recipients = [n for n, cov in entries if cov <= lo_cov]
+        if not donors or not recipients:
+            return 0
+        written = 0
+        for name in recipients:
+            if max_samples is not None and written >= max_samples:
+                break
+            donor = donors[self.rng.randint(len(donors))]
+            d_img = self._uio.imread_rgb(os.path.join(self.read_img_path, donor))
+            d_lab = self._uio.imread_gray(os.path.join(self.read_lab_path, donor))
+            r_img = self._uio.imread_rgb(os.path.join(self.read_img_path, name))
+            r_lab = self._uio.imread_gray(os.path.join(self.read_lab_path, name))
+            if d_img.shape != r_img.shape:
+                continue  # transplant needs matching canvases
+            lo, hi = cfg.scale_range
+            d_img, d_lab = self._random_scale(
+                d_img, d_lab, self.rng.randint(int(lo * 10), int(hi * 10) + 1) / 10
+            )
+            r_img, r_lab = self._random_scale(
+                r_img, r_lab, self.rng.randint(int(lo * 10), int(hi * 10) + 1) / 10
+            )
+            mask = d_lab > 0
+            out_img = r_img.copy()
+            out_img[mask] = d_img[mask]
+            out_lab = np.where(mask, np.uint8(255), r_lab)
+            stem = name.rsplit(".", 1)[0]
+            self._save(out_img, out_lab, stem + "_5")
+            written += 1
+        return written
+
     def split_train_val(
         self,
         train_img: str,

@@ -177,3 +177,75 @@ class TestPrefetch:
         assert len(out) == 10
         for i, (a, b) in enumerate(out):
             assert a[0, 0] == i and b[0] == i
+
+
+class TestCopyPaste:
+    """run_copy_paste: the instance-transplant step the reference describes
+    but never implements (`data_enhancement.py:17-21`)."""
+
+    @staticmethod
+    def _write(tmp_path, name, img, lab):
+        from building_detection_tpu.utils import io as uio
+
+        uio.imwrite(str(tmp_path / "img" / name), img)
+        uio.imwrite(str(tmp_path / "lab" / name), lab)
+
+    def _dataset(self, tmp_path):
+        (tmp_path / "img").mkdir()
+        (tmp_path / "lab").mkdir()
+        h = w = 64
+        # donor: ~10% coverage (in (7.5%, 20%])
+        donor_img = np.full((h, w, 3), 200, np.uint8)
+        donor_lab = np.zeros((h, w), np.uint8)
+        donor_lab[10:30, 10:31] = 255  # 20*21/4096 = 10.25%
+        self._write(tmp_path, "donor.png", donor_img, donor_lab)
+        # recipient: ~1% coverage (<= 7.5%)
+        rec_img = np.full((h, w, 3), 50, np.uint8)
+        rec_lab = np.zeros((h, w), np.uint8)
+        rec_lab[0:4, 0:10] = 255  # ~1%
+        self._write(tmp_path, "rec.png", rec_img, rec_lab)
+        # untouched: 50% coverage (> 20%)
+        big_img = np.full((h, w, 3), 120, np.uint8)
+        big_lab = np.zeros((h, w), np.uint8)
+        big_lab[:, : w // 2] = 255
+        self._write(tmp_path, "big.png", big_img, big_lab)
+        return str(tmp_path / "img"), str(tmp_path / "lab")
+
+    def test_transplant_semantics(self, tmp_path):
+        from building_detection_tpu.core.config import AugmentConfig
+        from building_detection_tpu.utils import io as uio
+
+        img_dir, lab_dir = self._dataset(tmp_path)
+        out_i, out_l = str(tmp_path / "out_i"), str(tmp_path / "out_l")
+        # scale pinned to 1.0 so geometry is easy to reason about (the
+        # builder still routes through _random_scale, which may flip)
+        cfg = AugmentConfig(scale_range=(1.0, 1.0))
+        builder = DatasetBuilder(img_dir, lab_dir, out_i, out_l, cfg=cfg, seed=3)
+        n = builder.run_copy_paste()
+        assert n == 1  # exactly one recipient; donor/big are not recipients
+        names = os.listdir(out_i)
+        assert names == ["rec_5.png"]
+        out_img = uio.imread_rgb(os.path.join(out_i, "rec_5.png"))
+        out_lab = uio.imread_gray(os.path.join(out_l, "rec_5.png"))
+        # transplanted pixels: donor image value (200) where label on beyond
+        # the recipient's own (possibly flipped) buildings
+        on = out_lab > 0
+        donor_px = (out_img[..., 0] == 200) & on
+        assert donor_px.sum() == 20 * 21  # the donor's building, transplanted
+        # recipient's own building survives (area preserved under flips)
+        rec_px = (out_img[..., 0] == 50) & on
+        assert rec_px.sum() == 4 * 10
+        # coverage grew to donor + recipient areas exactly
+        assert int(on.sum()) == 20 * 21 + 4 * 10
+
+    def test_no_donors_is_noop(self, tmp_path):
+        (tmp_path / "img").mkdir()
+        (tmp_path / "lab").mkdir()
+        img = np.full((32, 32, 3), 10, np.uint8)
+        lab = np.zeros((32, 32), np.uint8)
+        self._write(tmp_path, "a.png", img, lab)  # 0% coverage: recipient only
+        builder = DatasetBuilder(
+            str(tmp_path / "img"), str(tmp_path / "lab"),
+            str(tmp_path / "oi"), str(tmp_path / "ol"), seed=0,
+        )
+        assert builder.run_copy_paste() == 0
