@@ -160,13 +160,17 @@ def measure_fused_forward(names, batch, iters, dtype):
     out = fn(pred.params, pred.states, *staged)
     np.asarray(out)  # compile + sync (host fetch is the only real sync here)
     flops = _flops_of(fn.lower(pred.params, pred.states, *staged).compile())
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(pred.params, pred.states, *staged)
-    np.asarray(out)  # FIFO queue: fetching the last result flushes all
-    dt = time.perf_counter() - t0
+    # best of two timed loops: the dev tunnel sporadically degrades dispatch
+    # RPCs by >10x for stretches (BASELINE.md); compute itself is steady
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(pred.params, pred.states, *staged)
+        np.asarray(out)  # FIFO queue: fetching the last result flushes all
+        best = min(best, time.perf_counter() - t0)
     n = plan.num_tiles * group * iters
-    return n / dt, flops * iters / dt
+    return n / best, flops * iters / best
 
 
 def measure_scene(names, batch, iters, dtype):
