@@ -107,19 +107,21 @@ def find_contours(mask: np.ndarray) -> List[np.ndarray]:
 
     Equivalent to ``cv2.findContours(mask, RETR_EXTERNAL, CHAIN_APPROX_NONE)``
     for binary masks: components nested inside holes of other components are
-    not reported.  Point sequences match cv2's border following; the list is
-    ordered by first raster encounter of each component's topmost border
-    pixel (cv2 returns the reverse order; use :func:`cv2_order` if the exact
-    list order matters).
+    not reported.  Point sequences match cv2's border following, and the
+    LIST ORDER matches cv2 too: reverse raster order of discovery (cv2
+    head-inserts each new top-level contour; verified exactly against cv2 on
+    400 randomized masks incl. dense noise and checkerboards).  The ring
+    order is user-visible through ``extract_polygons`` -> the points dict
+    (`buildAPI.py:128-143`), so it is part of the parity contract.
     """
     mask = np.ascontiguousarray((np.asarray(mask) != 0).astype(np.uint8))
-    if _nat is not None:
-        return _nat.find_contours(mask)
-    return _find_contours_py(mask)
+    found = _nat.find_contours(mask) if _nat is not None else _find_contours_py(mask)
+    return found[::-1]
 
 
 def _find_contours_py(mask: np.ndarray) -> List[np.ndarray]:
-    """Pure NumPy/scipy fallback for :func:`find_contours`."""
+    """Pure NumPy/scipy fallback for :func:`find_contours` (raster order;
+    the public wrapper reverses into cv2 order)."""
     # top-level components: label the hole-filled mask
     filled = ndimage.binary_fill_holes(mask)
     labels, n = ndimage.label(filled, structure=_STRUCT8)
@@ -132,11 +134,6 @@ def _find_contours_py(mask: np.ndarray) -> List[np.ndarray]:
         left = xs[ys == top].min()
         contours.append(_trace_border(region, (int(top), int(left))))
     return contours
-
-
-def cv2_order(contours: List[np.ndarray]) -> List[np.ndarray]:
-    """cv2 returns external contours in reverse raster order of discovery."""
-    return list(reversed(contours))
 
 
 # ---------------------------------------------------------------------------
@@ -445,27 +442,47 @@ def min_area_rect(contour: np.ndarray) -> Tuple[Tuple[float, float], Tuple[float
             cx = cx_r * ux - cy_r * uy
             cy = cx_r * uy + cy_r * ux
             best = (area, (cx, cy), (w, h), math.degrees(math.atan2(uy, ux)))
-    _, center, size, angle = best
-    return (center, size, angle)
+    _, center, (w, h), angle = best
+    # cv2's parametrization convention: angle in [-90, 0); every 90-degree
+    # shift swaps width/height and rotates boxPoints' corner phase by one —
+    # required for cv2-exact corner ORDER downstream (box_points docstring).
+    while angle >= 0:
+        angle -= 90.0
+        w, h = h, w
+    while angle < -90:
+        angle += 90.0
+        w, h = h, w
+    return (center, (w, h), angle)
 
 
 def box_points(rect) -> np.ndarray:
-    """``cv2.boxPoints``: the 4 rectangle corners as float32 (4, 2)."""
+    """``cv2.boxPoints``: the 4 rectangle corners as float32 (4, 2).
+
+    Reproduces ``cv::RotatedRect::points`` exactly — same corner ORDER
+    (cv2 emits its first corner at ``center + (-a*h - b*w, +b*h - a*w)``
+    with ``b = cos*0.5, a = sin*0.5``, then reflects through the center)
+    and the same single-precision arithmetic (trig in double, cast to f32,
+    then f32 multiply-adds).  The order is user-visible: ``small_target``'s
+    minAreaRect fallback (`edge_3.py:282-285`) feeds these points straight
+    into the output ring.
+    """
     (cx, cy), (w, h), angle = rect
-    a = math.radians(angle)
-    ux, uy = math.cos(a), math.sin(a)
-    vx, vy = -uy, ux
-    hw, hh = w / 2.0, h / 2.0
-    corners = np.array(
-        [
-            [cx - hw * ux - hh * vx, cy - hw * uy - hh * vy],
-            [cx + hw * ux - hh * vx, cy + hw * uy - hh * vy],
-            [cx + hw * ux + hh * vx, cy + hw * uy + hh * vy],
-            [cx - hw * ux + hh * vx, cy - hw * uy + hh * vy],
-        ],
-        np.float32,
+    f = np.float32
+    cx, cy, w, h = f(cx), f(cy), f(w), f(h)
+    rad = math.radians(float(angle))
+    b = f(math.cos(rad)) * f(0.5)
+    a = f(math.sin(rad)) * f(0.5)
+    p0x = cx - a * h - b * w
+    p0y = cy + b * h - a * w
+    p1x = cx + a * h - b * w
+    p1y = cy - b * h - a * w
+    p2x = f(2) * cx - p0x
+    p2y = f(2) * cy - p0y
+    p3x = f(2) * cx - p1x
+    p3y = f(2) * cy - p1y
+    return np.array(
+        [[p0x, p0y], [p1x, p1y], [p2x, p2y], [p3x, p3y]], np.float32
     )
-    return corners
 
 
 # ---------------------------------------------------------------------------
@@ -485,12 +502,14 @@ def components_filled(mask: np.ndarray) -> List[np.ndarray]:
 
     The workhorse behind the reference's draw-one-contour-filled idiom
     (`model_fuse.py:177-178`): each returned raster is what
-    ``cv2.drawContours(blank, contours, i, 255, FILLED)`` paints.
+    ``cv2.drawContours(blank, contours, i, 255, FILLED)`` paints.  List
+    order matches :func:`find_contours` (cv2's reverse-raster order) so the
+    two zip together per component.
     """
     m = np.asarray(mask) != 0
     filled = ndimage.binary_fill_holes(m)
     labels, n = ndimage.label(filled, structure=_STRUCT8)
-    return [(labels == lbl).astype(np.uint8) for lbl in range(1, n + 1)]
+    return [(labels == lbl).astype(np.uint8) for lbl in range(n, 0, -1)]
 
 
 def erode_np(mask: np.ndarray, kernel: Tuple[int, int], iterations: int = 1) -> np.ndarray:

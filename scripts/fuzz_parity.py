@@ -1,0 +1,125 @@
+"""Long-run parity fuzz: fusion + polygon extraction vs the cv2 oracle.
+
+Each iteration builds five random building-like masks (plus adversarial
+classes: dense salt-and-pepper noise, checkerboards, stripe patterns) and
+asserts
+
+* ``post.fusion.fuse_masks`` is PIXEL-exact vs the literal cv2 transcription
+  of ``model_fuse.py`` (`tests/reference_oracle.py`), and
+* ``post.edges.extract_polygons`` is POINT-exact vs the transcription of
+  ``edge_3.py``,
+
+on every one.  The default 2,000 iterations extend the in-suite coverage
+(`tests/test_fusion.py` runs a few dozen seeds); run
+``python scripts/fuzz_parity.py [iters] [base_seed]`` and record the output
+line.  Exits non-zero on the first divergence with a repro seed.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+import cv2 as cv  # noqa: E402  (test oracle only; framework code bans cv2)
+
+import reference_oracle as oracle  # noqa: E402
+from test_fusion import building_mask  # noqa: E402
+
+from building_detection_tpu.post import edges as E  # noqa: E402
+from building_detection_tpu.post import fusion as F  # noqa: E402
+
+
+def adversarial_mask(rng: np.random.RandomState, shape) -> np.ndarray:
+    kind = rng.randint(4)
+    h, w = shape
+    if kind == 0:  # dense salt-and-pepper
+        density = rng.uniform(0.2, 0.8)
+        return np.where(rng.rand(h, w) < density, 255, 0).astype(np.uint8)
+    if kind == 1:  # checkerboard, random cell size
+        c = rng.randint(1, 9)
+        yy, xx = np.mgrid[0:h, 0:w]
+        return ((yy // c + xx // c) % 2 * 255).astype(np.uint8)
+    if kind == 2:  # stripes (exercise the 1x5/5x1 erosion splitting)
+        c = rng.randint(1, 7)
+        yy = np.arange(h) if rng.rand() < 0.5 else np.arange(w)
+        stripe = (yy // c % 2 * 255).astype(np.uint8)
+        return (
+            np.broadcast_to(stripe[:, None], (h, w))
+            if stripe.shape[0] == h
+            else np.broadcast_to(stripe[None, :], (h, w))
+        ).copy()
+    # touching rectangles grid
+    m = np.zeros((h, w), np.uint8)
+    step = rng.randint(8, 20)
+    sz = step - rng.randint(1, 4)
+    for y in range(0, h - sz, step):
+        for x in range(0, w - sz, step):
+            m[y : y + sz, x : x + sz] = 255
+    return m
+
+
+def one_iteration(seed: int) -> None:
+    rng = np.random.RandomState(seed)
+    hw = (rng.randint(48, 257), rng.randint(48, 257))
+    masks = []
+    for k in range(5):
+        if rng.rand() < 0.25:
+            masks.append(adversarial_mask(rng, hw))
+        else:
+            masks.append(
+                building_mask(
+                    rng.randint(2**31),
+                    shape=hw,
+                    n=rng.randint(2, 11),
+                    holes=rng.rand() < 0.7,
+                )
+            )
+    got_f = F.fuse_masks(masks)
+    want_f = oracle.model_confuse(masks)
+    if not np.array_equal(got_f, want_f):
+        raise AssertionError(f"fusion diverged at seed {seed}")
+    got_p, got_h = E.extract_polygons(want_f)
+    want_p, want_h = oracle.detection_points(want_f)
+    if got_h != want_h or len(got_p) != len(want_p):
+        raise AssertionError(f"polygons diverged at seed {seed}")
+    for g, w in zip(got_p, want_p):
+        ga = np.array(g, np.float64)
+        wa = np.array(w, np.float64)
+        if ga.shape != wa.shape:
+            raise AssertionError(f"polygons diverged at seed {seed}")
+        if np.issubdtype(np.asarray(g[0][0]).dtype, np.integer):
+            exact = np.array_equal(ga, wa)  # approxPolyDP rings: int, exact
+        else:
+            # minAreaRect-fallback rings are float32: cv2's rotating
+            # calipers accumulates in f32 internally, ours in f64 — corner
+            # order and formula match exactly, coordinates to ~1e-4 px
+            # (docs/QUIRKS.md)
+            exact = np.allclose(ga, wa, atol=1e-3)
+        if not exact:
+            raise AssertionError(f"polygons diverged at seed {seed}")
+
+
+def main() -> int:
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    t0 = time.time()
+    for i in range(iters):
+        one_iteration(base + i)
+        if (i + 1) % 200 == 0:
+            print(
+                f"{i + 1}/{iters} ok ({time.time() - t0:.0f}s)", flush=True
+            )
+    print(
+        f"PARITY FUZZ OK: {iters} iterations (seeds {base}..{base + iters - 1}), "
+        f"fusion pixel-exact + polygons point-exact, {time.time() - t0:.0f}s"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

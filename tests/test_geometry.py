@@ -152,9 +152,10 @@ class TestMinAreaRect:
             )
             tb = cv.boxPoints(theirs)
             ob = G.box_points(ours)
-            # same 4 corners regardless of ordering convention
-            d = np.abs(ob[:, None, :] - tb[None, :, :]).sum(-1)
-            assert (d.min(axis=1) < 1e-3).all()
+            # ORDERED comparison: box_points reproduces RotatedRect::points'
+            # corner order and formula; coords match to ~1e-4 (cv2's
+            # rotating calipers accumulates in f32, ours in f64)
+            np.testing.assert_allclose(ob, tb, atol=1e-3)
 
 
 class TestRaster:
@@ -289,3 +290,40 @@ class TestPathologicalShapes:
                     a = G.approx_poly_dp(cc, eps, True)
                     b = cv.approxPolyDP(c, eps, True).reshape(-1, 2)
                     assert as_cyclic_tuple(a) == as_cyclic_tuple(b), (idx, rate)
+
+
+class TestContourListOrder:
+    """cv2 returns external contours in REVERSE raster-discovery order; the
+    list order is user-visible through extract_polygons (ring order in the
+    points dict), so it is pinned exactly."""
+
+    @pytest.mark.parametrize("seed", range(12))
+    def test_order_matches_cv2(self, seed):
+        rng = np.random.RandomState(seed + 777)
+        h, w = rng.randint(32, 160), rng.randint(32, 160)
+        kind = seed % 3
+        if kind == 0:
+            m = blob_mask(seed)
+        elif kind == 1:
+            m = np.where(rng.rand(h, w) < 0.5, 255, 0).astype(np.uint8)
+        else:
+            c = rng.randint(2, 7)
+            yy, xx = np.mgrid[0:h, 0:w]
+            m = ((yy // c + xx // c) % 2 * 255).astype(np.uint8)
+        ours = G.find_contours(m)
+        theirs = cv2_contours(m)
+        assert len(ours) == len(theirs)
+        for a, b in zip(ours, theirs):
+            np.testing.assert_array_equal(
+                np.asarray(a).reshape(-1, 2), np.asarray(b).reshape(-1, 2)
+            )
+
+    def test_components_filled_aligned(self):
+        m = np.zeros((40, 60), np.uint8)
+        m[2:10, 2:12] = 255
+        m[20:30, 30:50] = 255
+        contours = G.find_contours(m)
+        rasters = G.components_filled(m)
+        for c, r in zip(contours, rasters):
+            pts = np.asarray(c).reshape(-1, 2)
+            assert r[pts[0, 1], pts[0, 0]]  # contour start lies on its raster
