@@ -78,3 +78,24 @@ class TestExtractPolygons:
     def test_blank(self):
         corners, h = E.extract_polygons(np.zeros((64, 64), np.uint8))
         assert corners == [] and h == 64
+
+
+class TestRingOrder:
+    """Regression guard for cv2's reverse-raster ring order (caught by the
+    10k fuzz, scripts/fuzz_parity.py): extract_polygons must emit rings in
+    exactly cv2's enumeration order, not raster-discovery order."""
+
+    def test_multi_ring_order_matches_oracle(self):
+        m = np.zeros((200, 240), np.uint8)
+        # three well-separated buildings, raster order top-left -> bottom
+        cv.rectangle(m, (10, 10), (60, 50), 255, -1)
+        cv.rectangle(m, (150, 80), (220, 140), 255, -1)
+        cv.rectangle(m, (30, 150), (110, 190), 255, -1)
+        ours, h_ours = E.extract_polygons(m)
+        theirs, h_theirs = oracle.detection_points(m)
+        assert h_ours == h_theirs
+        assert len(ours) == len(theirs) == 3
+        assert ours == theirs  # ordered, point-exact
+        # and the order is NOT raster order: cv2 enumerates bottom-up
+        first_ys = [min(r[1][:-1]) for r in ours]
+        assert first_ys == sorted(first_ys, reverse=True)
