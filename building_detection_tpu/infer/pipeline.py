@@ -141,9 +141,9 @@ class Pipeline:
     def predict_images(self, images: List[np.ndarray]) -> List[PredictResult]:
         """Batch prediction: device work for all scenes is pipelined (uploads
         and downloads overlap compute), and host post-processing of each
-        fetched scene overlaps the remaining scenes' device compute (the
-        ensemble dispatches everything before the first fetch —
-        ``predict_masks_iter``).
+        fetched scene overlaps the remaining scenes' device compute
+        (``predict_masks_iter`` keeps a window of dispatched groups ahead of
+        the fetch point).
 
         Post-processing stays SEQUENTIAL by design: fusion is many small
         numpy ops that hold the GIL, and fanning it out to a thread pool was
@@ -162,7 +162,14 @@ class Pipeline:
         if hasattr(self.ensemble, "predict_masks_iter"):
             with self.timer.stage("ensemble_forward"):
                 it = self.ensemble.predict_masks_iter(images)
-            for idx, masks in it:
+            while True:
+                # device dispatch/wait/fetch accrues to ensemble_forward;
+                # per-scene post-processing to its own stages
+                with self.timer.stage("ensemble_forward"):
+                    try:
+                        idx, masks = next(it)
+                    except StopIteration:
+                        break
                 results[idx] = post(masks)
         elif hasattr(self.ensemble, "predict_masks_many"):
             with self.timer.stage("ensemble_forward"):
