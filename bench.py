@@ -67,14 +67,22 @@ def _build(names, batch, dtype):
 
         def fwd(params, state, x, fn=fn):
             probs, _ = M.apply(fn, params, state, x, compute_dtype=dtype)
-            return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            m = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            # reduce ON DEVICE: fetching full masks through the ~30 MB/s
+            # tunnel would dominate the timing and mask batch-size effects
+            # (the round-1 methodology error; BASELINE.md round-2 notes)
+            return jnp.sum(m.astype(jnp.int32))
 
         members.append((name, jax.jit(fwd), params, state))
     return members
 
 
 def measure_ensemble(names, batch, iters, dtype):
-    """Ensemble tiles/sec: each tile goes through all five models."""
+    """Per-model forward compute: each tile through all listed models.
+
+    Clean timing — each model's argmax output reduces to a scalar on device
+    (a 4-byte fetch syncs the FIFO queue); use `fused` mode for the
+    production program including gather/scatter/packing."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -84,8 +92,7 @@ def measure_ensemble(names, batch, iters, dtype):
         jax.random.key(42), (batch, 512, 512, 3), jnp.float32, -1, 1
     )
     # warmup (compile); NOTE: on the tunneled axon backend block_until_ready
-    # does not await execution — a host fetch is the only real sync, so all
-    # timing here flushes via np.asarray.
+    # does not await execution — a host fetch is the only real sync.
     flops_per_batch = 0.0
     for _, fwd, params, state in members:
         np.asarray(fwd(params, state, x))
