@@ -71,6 +71,8 @@ def main(argv=None) -> int:
         steps_per_epoch=steps,
         mesh=make_mesh(data=args.data_parallel),
         compute_dtype=jnp.bfloat16 if args.precision == "bf16" else jnp.float32,
+        augment=args.augment_seed is not None,
+        augment_seed=args.augment_seed or 0,
     )
     resume_path = args.resume
     if args.auto_resume and not resume_path:
@@ -87,13 +89,41 @@ def main(argv=None) -> int:
         trainer.restore(resume_path)
         print(f"resumed from {resume_path} at step {trainer.step}")
 
+    # Host memory ceiling for decoding the whole dataset up front; past it,
+    # stream from disk per step (the staged-HBM decision proper is
+    # Trainer.should_stage, made against device memory inside fit_arrays).
+    host_budget = 16 << 30
+    dataset_bytes = len(train_pairs) * (cfg.image_size ** 2) * 4
+    if dataset_bytes <= host_budget:
+        import numpy as np
+
+        from building_detection_tpu.data.dataset import decode_pair
+
+        imgs, labs = [], []
+        for ip, lp in train_pairs:
+            im, lb = decode_pair(ip, lp, cfg.image_size)
+            imgs.append(im)
+            labs.append(lb)
+        images, labels = np.stack(imgs), np.stack(labs)
+        val_images = val_labels = None
+        if args.val_images and args.val_labels:
+            val_pairs = list_pairs(args.val_images, args.val_labels)
+            print(f"validation samples: {len(val_pairs)}")
+            vi, vl = [], []
+            for ip, lp in val_pairs:
+                im, lb = decode_pair(ip, lp, cfg.image_size)
+                vi.append(im)
+                vl.append(lb)
+            val_images, val_labels = np.stack(vi), np.stack(vl)
+        trainer.fit_arrays(
+            images, labels, val_images, val_labels,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        return 0
+
     from building_detection_tpu.data.dataset import prefetch
 
-    train_iter = prefetch(
-        batch_iterator(
-            train_pairs, cfg.batch_size, cfg.image_size, augment_rng=args.augment_seed
-        )
-    )
+    train_iter = prefetch(batch_iterator(train_pairs, cfg.batch_size, cfg.image_size))
     val_iter, val_steps = None, 0
     if args.val_images and args.val_labels:
         val_pairs = list_pairs(args.val_images, args.val_labels)

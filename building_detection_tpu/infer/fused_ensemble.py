@@ -305,7 +305,11 @@ class FusedEnsemblePredictor:
             plans.append(plan)
             if plan.num_tiles == 0:
                 continue
-            key = (plan.canvas_h, plan.canvas_w, plan.num_tiles, img.shape[:2]
+            # plan.origins (not just num_tiles) must be part of the key:
+            # bucketing pads different real tile grids to the same count, but
+            # _stage_group ships ONE origin array for the whole group — scenes
+            # may only share a dispatch if their real grids are identical.
+            key = (plan.canvas_h, plan.canvas_w, plan.origins, img.shape[:2]
                    if not self.cfg.bucket_sizes else None)
             groups.setdefault(key, []).append(idx)
 

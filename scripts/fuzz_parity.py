@@ -92,14 +92,10 @@ def one_iteration(seed: int) -> None:
         wa = np.array(w, np.float64)
         if ga.shape != wa.shape:
             raise AssertionError(f"polygons diverged at seed {seed}")
-        if np.issubdtype(np.asarray(g[0][0]).dtype, np.integer):
-            exact = np.array_equal(ga, wa)  # approxPolyDP rings: int, exact
-        else:
-            # minAreaRect-fallback rings are float32: cv2's rotating
-            # calipers accumulates in f32 internally, ours in f64 — corner
-            # order and formula match exactly, coordinates to ~1e-4 px
-            # (docs/QUIRKS.md)
-            exact = np.allclose(ga, wa, atol=1e-3)
+        # approxPolyDP rings are int and exact; minAreaRect-fallback rings
+        # are float32 and now ALSO exact (round 3: cv2-ordered hull + f32
+        # rotating calipers + cv2 angle normalisation in post/geometry.py)
+        exact = np.array_equal(ga, wa)
         if not exact:
             raise AssertionError(f"polygons diverged at seed {seed}")
 
@@ -116,7 +112,8 @@ def main() -> int:
             )
     print(
         f"PARITY FUZZ OK: {iters} iterations (seeds {base}..{base + iters - 1}), "
-        f"fusion pixel-exact + polygons point-exact, {time.time() - t0:.0f}s"
+        f"fusion pixel-exact + polygon rings bit-exact (int AND float), "
+        f"{time.time() - t0:.0f}s"
     )
     return 0
 

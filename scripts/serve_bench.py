@@ -15,6 +15,7 @@ Prints one JSON line with both throughputs and the speedup.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import threading
 import time
@@ -65,8 +66,8 @@ def main() -> int:
 
     import tempfile as _tf
 
-    img_path = _tf.mktemp(suffix=".png", dir=root)
-    with open(img_path, "wb") as f:
+    fd, img_path = _tf.mkstemp(suffix=".png", dir=root)
+    with os.fdopen(fd, "wb") as f:
         f.write(payload)
 
     def one(i: int):

@@ -1,0 +1,66 @@
+"""One-model TF-oracle parity probe: reference Keras weights -> our model.
+
+Usage: python scripts/tf_oracle_probe.py <res34|scse|v3plus|bam|hrnet> [size]
+
+Builds the reference model verbatim under real tf_keras, saves its weights
+.h5, strict-imports them into our JAX model, and compares the f32 forward on
+a fixed random input.  Run one model per process (Keras name counters are
+process-global).
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tests import tf_oracle  # noqa: E402  (sets TF_USE_LEGACY_KERAS first)
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    name = sys.argv[1]
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    import tempfile
+
+    import tensorflow as tf  # noqa: F401
+
+    h5 = tempfile.mktemp(suffix=f"_{name}.h5")
+    model = tf_oracle.export_reference_weights(name, h5)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, (1, size, size, 3)).astype(np.float32)
+    y_tf = model.predict(x, verbose=0)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from building_detection_tpu.core import module as M
+    from building_detection_tpu.models.registry import MODEL_REGISTRY, init_model
+    from building_detection_tpu.train import checkpoint as ckpt
+
+    params, state = init_model(name, jax.random.key(0), (1, size, size, 3))
+    params, state, report = ckpt.import_h5_weights(h5, params, state, strict=True)
+    print(report.summary())
+    fn = MODEL_REGISTRY[name]
+    y_jax, _ = jax.jit(lambda p, s, xx: M.apply(fn, p, s, xx))(
+        params, state, jnp.asarray(x)
+    )
+    y_jax = np.asarray(y_jax)
+    md = float(np.abs(y_jax - y_tf).max())
+    dis = y_jax.argmax(-1) != y_tf.argmax(-1)
+    agree = 1.0 - float(dis.mean())
+    # argmax can legitimately flip where TF's own class margin is below the
+    # cross-framework float error (random-init weights sit near p=0.5);
+    # only disagreements at a REAL margin indicate semantic divergence
+    margin = np.abs(y_tf[..., 1] - y_tf[..., 0])
+    real_dis = int((dis & (margin > 1e-4)).sum())
+    print(
+        f"{name}: max|diff|={md:.3e} argmax_agree={agree:.6f} "
+        f"disagreements_above_margin={real_dis}"
+    )
+    assert md < 1e-4 and real_dis == 0, f"{name} FAILED"
+    print(f"{name}: PASS")
+
+
+if __name__ == "__main__":
+    main()

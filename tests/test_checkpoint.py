@@ -55,6 +55,12 @@ def write_keras_h5(path, layers):
                 lg.create_dataset(wn, data=arr)
 
 
+def keras_dw(arr):
+    """Our (kh, kw, 1, C) depthwise kernel in Keras' (kh, kw, C, 1) layout —
+    what a real SeparableConv2D writes and what the importer must undo."""
+    return np.ascontiguousarray(np.transpose(arr, (0, 1, 3, 2)))
+
+
 class TestH5Import:
     def test_ordered_shape_matching(self, tmp_path):
         params, state = init_small()
@@ -80,7 +86,7 @@ class TestH5Import:
                 ("conv2d_transpose/bias:0", fake["conv2d_transpose/bias"]),
             ]),
             ("separable_conv2d", [
-                ("separable_conv2d/depthwise_kernel:0", fake["separable_conv2d/depthwise_kernel"]),
+                ("separable_conv2d/depthwise_kernel:0", keras_dw(fake["separable_conv2d/depthwise_kernel"])),
                 ("separable_conv2d/pointwise_kernel:0", fake["separable_conv2d/pointwise_kernel"]),
                 ("separable_conv2d/bias:0", fake["separable_conv2d/bias"]),
             ]),
@@ -123,7 +129,7 @@ class TestH5Import:
                 ("conv2d_transpose_2/bias:0", fake["conv2d_transpose/bias"]),
             ]),
             ("separable_conv2d_4", [
-                ("separable_conv2d_4/depthwise_kernel:0", fake["separable_conv2d/depthwise_kernel"]),
+                ("separable_conv2d_4/depthwise_kernel:0", keras_dw(fake["separable_conv2d/depthwise_kernel"])),
                 ("separable_conv2d_4/pointwise_kernel:0", fake["separable_conv2d/pointwise_kernel"]),
                 ("separable_conv2d_4/bias:0", fake["separable_conv2d/bias"]),
             ]),
@@ -256,6 +262,10 @@ class TestH5RoundTripZoo:
         # counters being offset) but construction order preserved
         renamed = {}
         for layer, suffix, _full, arr in ckpt._read_h5_entries(src_h5):
+            if suffix == "depthwise_kernel":
+                # _read_h5_entries normalized to our layout; the rewritten
+                # file must carry the Keras layout again
+                arr = keras_dw(arr)
             renamed.setdefault(f"x_{layer}", []).append(
                 (f"x_{layer}/{suffix}:0", arr)
             )

@@ -142,6 +142,32 @@ class TestSceneGrouping:
             for k in ref:
                 np.testing.assert_array_equal(g[k], ref[k])
 
+    def test_bucketed_scenes_with_different_real_grids_not_merged(self):
+        """Regression: 100x80 (4x3 real tiles) and 76x80 (3x3) both bucket to
+        a 4x4/104x104 program, but their real origin grids differ — grouping
+        them under one origin array silently never dispatched the extra
+        tile-row (rows 72-99 came back zero).  The group key must include the
+        real origins, so these scenes land in separate dispatches with
+        correct (single-scene-equal) masks."""
+        members = make_members()
+        cfg = TilerConfig(tile=32, stride=24, overlap=8, bucket_sizes=True)
+        rng = np.random.RandomState(17)
+        scenes = [
+            rng.randint(0, 256, (100, 80, 3), np.uint8),
+            rng.randint(0, 256, (76, 80, 3), np.uint8),
+        ]
+        fused = FusedEnsemblePredictor(
+            members, cfg, batch_tiles=64, compute_dtype=jnp.float32
+        )
+        got = fused.predict_masks_many(scenes)
+        single = FusedEnsemblePredictor(
+            members, cfg, batch_tiles=6, compute_dtype=jnp.float32
+        )
+        for scene, g in zip(scenes, got):
+            ref = single.predict_masks(scene)
+            for k in ref:
+                np.testing.assert_array_equal(g[k], ref[k])
+
 
 class TestBitplanePacking:
     def test_roundtrip(self):

@@ -152,10 +152,72 @@ class TestMinAreaRect:
             )
             tb = cv.boxPoints(theirs)
             ob = G.box_points(ours)
-            # ORDERED comparison: box_points reproduces RotatedRect::points'
-            # corner order and formula; coords match to ~1e-4 (cv2's
-            # rotating calipers accumulates in f32, ours in f64)
-            np.testing.assert_allclose(ob, tb, atol=1e-3)
+            # ORDERED, bit-exact comparison: min_area_rect replicates cv2's
+            # hull ordering + f32 rotating calipers + angle normalisation
+            np.testing.assert_array_equal(ob, tb)
+
+    def test_cv2_bit_exact_fuzz(self):
+        """min_area_rect == cv2.minAreaRect on adversarial contours: every
+        angle and corner phase identical; coordinates bit-equal except <=1 ulp
+        on exact-area ties (cv2's FMA contraction; docs/QUIRKS.md)."""
+        rng = np.random.RandomState(7)
+        n = exact = 0
+        for t in range(2000):
+            kind = t % 5
+            if kind == 0:
+                pts = rng.randint(0, 60, (rng.randint(3, 20), 2))
+            elif kind == 1:
+                pts = rng.randint(0, 8, (rng.randint(3, 20), 2)) * 7
+            elif kind == 2:
+                pts = rng.randint(0, 4000, (rng.randint(3, 30), 2))
+            elif kind == 3:
+                k = int(rng.randint(3, 15))
+                pts = np.stack(
+                    [rng.randint(0, 500, (k,)), rng.randint(0, 4, (k,))], axis=-1
+                )
+            else:  # collinear sets, incl. vertical/horizontal pairs
+                k = int(rng.randint(2, 8))
+                x0, y0 = rng.randint(0, 100, 2)
+                dx, dy = rng.randint(-20, 20, 2)
+                ts = rng.randint(0, 10, k)
+                pts = np.stack([x0 + ts * dx, y0 + ts * dy], axis=-1)
+            pts = pts.astype(np.int32)
+            ref = cv.minAreaRect(pts.reshape(-1, 1, 2))
+            got = G.min_area_rect(pts)
+            n += 1
+            # angle (and therefore boxPoints corner ORDER) must always match
+            assert np.float32(ref[2]) == np.float32(got[2]), (t, ref, got)
+            vals_ref = np.float32([ref[0][0], ref[0][1], ref[1][0], ref[1][1]])
+            vals_got = np.float32([got[0][0], got[0][1], got[1][0], got[1][1]])
+            if np.array_equal(vals_ref, vals_got):
+                exact += 1
+            else:  # exact-area tie: a different winning caliper position,
+                # coordinates agree to a few ulp (rel ~1e-6)
+                np.testing.assert_allclose(vals_got, vals_ref, rtol=1e-6, atol=1e-4)
+        assert exact / n > 0.99, f"only {exact}/{n} bit-exact"
+
+    def test_convex_hull_cv2_order_exact(self):
+        """convex_hull_cv2 == cv2.convexHull incl. output ORDER."""
+        rng = np.random.RandomState(5)
+        for t in range(1500):
+            kind = t % 5
+            if kind == 0:
+                pts = rng.randint(0, 40, (rng.randint(3, 20), 2))
+            elif kind == 1:
+                pts = rng.randint(0, 6, (rng.randint(3, 20), 2)) * 5
+            elif kind == 2:
+                pts = rng.randint(0, 2000, (rng.randint(3, 30), 2))
+            elif kind == 3:
+                k = int(rng.randint(3, 15))
+                pts = np.stack(
+                    [rng.randint(0, 200, (k,)), rng.randint(0, 3, (k,))], axis=-1
+                )
+            else:  # duplicates-heavy
+                pts = rng.randint(0, 6, (rng.randint(3, 20), 2))
+            pts = pts.astype(np.int32)
+            ref = cv.convexHull(pts.reshape(-1, 1, 2), clockwise=False).reshape(-1, 2)
+            got = G.convex_hull_cv2(pts, clockwise=False)
+            np.testing.assert_array_equal(got.astype(ref.dtype), ref)
 
 
 class TestRaster:
