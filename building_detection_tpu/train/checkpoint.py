@@ -173,12 +173,16 @@ def import_h5_weights(
     ``.h5`` files (`/root/reference/predict.py:17-54`).  Matching runs in two
     passes:
 
-    1. **by name** — our module system reproduces Keras auto-naming
-       (``conv2d_5/kernel`` ↔ ``conv2d_5/kernel:0``), so checkpoints written
-       with fresh per-model name counters (the reference trains one model per
-       process, `train_model/*.py`) match exactly;
-    2. **by order** — anything left matches by (suffix, shape) in stored
-       order against our *construction* order, which is how Keras'
+    1. **by name, all-or-nothing** — our module system reproduces Keras
+       auto-naming (``conv2d_5/kernel`` ↔ ``conv2d_5/kernel:0``), so
+       checkpoints written with fresh per-model name counters (the reference
+       trains one model per process, `train_model/*.py`) match exactly.
+       Accepted only if names cover every target and consume every h5
+       weight with agreeing shapes — partial name matches are rejected
+       because offset-counter files contain colliding names for different
+       layers;
+    2. **by order** — otherwise everything matches by (suffix, shape) in
+       stored order against our *construction* order, which is how Keras'
        ``load_weights`` itself resolves an .h5 (topological order, names not
        required).  This disambiguates shape-identical stacks like the 16
        Xception middle-flow blocks (`v3plus.py:239-252`).
@@ -211,41 +215,53 @@ def import_h5_weights(
         else:
             new_state[key] = arr.astype(np.asarray(target).dtype)
 
-    # pass 1: exact name matching
+    # pass 1: exact name matching — ALL-OR-NOTHING.  An .h5 written with
+    # OFFSET name counters (Keras counters are process-global, so any model
+    # built after another in one process gets conv2d_107...) can contain
+    # names that collide with a fresh model's names while denoting entirely
+    # different layers; accepting partial name matches would assign wrong
+    # weights silently (caught by the cross-model e2e parity run).  Name
+    # matching is trusted only when it covers every target AND consumes
+    # every h5 weight with agreeing shapes; otherwise the whole file
+    # resolves by construction-ordered (suffix, shape) matching — the same
+    # topological resolution Keras' own ``load_weights`` uses.
     by_name = {}
     for idx, (layer, suffix, full, arr) in enumerate(entries):
         by_name.setdefault(f"{layer}/{suffix}", idx)
-    consumed = set()
-    deferred = []
+    name_assign = {}
+    name_used = set()
+    names_complete = len(entries) == len(ours)
     for key, kind in ours:
         idx = by_name.get(key)
-        if idx is not None and idx not in consumed:
-            arr = entries[idx][3]
-            if tuple(arr.shape) == tuple(np.shape(targets[key])):
-                assign(key, kind, arr)
-                consumed.add(idx)
-                report.matched_by_name += 1
-            else:
-                report.shape_conflicts.append(
-                    (key, tuple(np.shape(targets[key])), tuple(arr.shape))
-                )
-        else:
-            deferred.append((key, kind))
+        if idx is None or idx in name_used or tuple(
+            entries[idx][3].shape
+        ) != tuple(np.shape(targets[key])):
+            names_complete = False
+            break
+        name_assign[key] = idx
+        name_used.add(idx)
 
-    # pass 2: ordered (suffix, shape) matching for the remainder
-    for key, kind in deferred:
-        want = key.rsplit("/", 1)[-1]
-        shape = tuple(np.shape(targets[key]))
-        for idx, (layer, suffix, full, arr) in enumerate(entries):
-            if idx in consumed:
-                continue
-            if suffix == want and tuple(arr.shape) == shape:
-                assign(key, kind, arr)
-                consumed.add(idx)
-                report.matched_by_order += 1
-                break
-        else:
-            report.unmatched_ours.append(key)
+    consumed = set()
+    if names_complete:
+        for key, kind in ours:
+            assign(key, kind, entries[name_assign[key]][3])
+            consumed.add(name_assign[key])
+        report.matched_by_name = len(ours)
+    else:
+        # pass 2: ordered (suffix, shape) matching for everything
+        for key, kind in ours:
+            want = key.rsplit("/", 1)[-1]
+            shape = tuple(np.shape(targets[key]))
+            for idx, (layer, suffix, full, arr) in enumerate(entries):
+                if idx in consumed:
+                    continue
+                if suffix == want and tuple(arr.shape) == shape:
+                    assign(key, kind, arr)
+                    consumed.add(idx)
+                    report.matched_by_order += 1
+                    break
+            else:
+                report.unmatched_ours.append(key)
 
     report.leftover_h5 = [
         full for idx, (_, _, full, _) in enumerate(entries) if idx not in consumed

@@ -11,8 +11,11 @@ softmax-across-branches trick, `v3plus.py:74-138`) fails loudly.
 Measured on v5e (round 3): res34/scse/hrnet/v3plus/bam all reach IoU ~1.0
 within their step budgets (bigger models get fewer, larger-lr steps).
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
 import numpy as np

@@ -143,6 +143,53 @@ class TestH5Import:
         for k in state:
             np.testing.assert_array_equal(new_state[k], fake[k])
 
+    def test_colliding_offset_names_resolve_by_order(self, tmp_path):
+        """Regression (round-3 e2e run): an .h5 written with OFFSET Keras
+        counters can contain names that collide with a fresh model's names
+        while denoting different layers.  Partial name matching must be
+        rejected wholesale — everything resolves by construction order."""
+        params, state = init_small()
+        rng = np.random.RandomState(4)
+        fake = {
+            k: rng.randn(*np.shape(v)).astype(np.float32)
+            for k, v in {**params, **state}.items()
+        }
+        # construction order preserved, but names shifted by one conv2d
+        # counter: the h5's "conv2d_1" is OUR "conv2d" etc., and the h5's
+        # "conv2d" slot does not exist -> a naive name pass would leave
+        # some targets unmatched and, worse, could collide on same-shape
+        # layers.  Note "conv2d_1" here carries the FIRST conv's weights.
+        layers = [
+            ("conv2d_1", [
+                ("conv2d_1/kernel:0", fake["conv2d/kernel"]),
+                ("conv2d_1/bias:0", fake["conv2d/bias"]),
+            ]),
+            ("batch_normalization_1", [
+                ("batch_normalization_1/gamma:0", fake["batch_normalization/gamma"]),
+                ("batch_normalization_1/beta:0", fake["batch_normalization/beta"]),
+                ("batch_normalization_1/moving_mean:0", fake["batch_normalization/moving_mean"]),
+                ("batch_normalization_1/moving_variance:0", fake["batch_normalization/moving_variance"]),
+            ]),
+            ("conv2d_transpose_1", [
+                ("conv2d_transpose_1/kernel:0", fake["conv2d_transpose/kernel"]),
+                ("conv2d_transpose_1/bias:0", fake["conv2d_transpose/bias"]),
+            ]),
+            ("separable_conv2d_1", [
+                ("separable_conv2d_1/depthwise_kernel:0", keras_dw(fake["separable_conv2d/depthwise_kernel"])),
+                ("separable_conv2d_1/pointwise_kernel:0", fake["separable_conv2d/pointwise_kernel"]),
+                ("separable_conv2d_1/bias:0", fake["separable_conv2d/bias"]),
+            ]),
+        ]
+        path = str(tmp_path / "w.h5")
+        write_keras_h5(path, layers)
+        new_params, new_state, report = ckpt.import_h5_weights(path, params, state)
+        assert report.complete
+        assert report.matched_by_name == 0  # partial names rejected
+        for k in params:
+            np.testing.assert_array_equal(new_params[k], fake[k])
+        for k in state:
+            np.testing.assert_array_equal(new_state[k], fake[k])
+
     def test_forward_changes_after_import(self, tmp_path):
         """Imported weights actually flow into the forward pass."""
         params, state = init_small()
@@ -194,7 +241,9 @@ class TestH5Import:
         _, _, report = ckpt.import_h5_weights(path, params, state, strict=False)
         assert not report.complete
         assert "conv2d/bias" in report.unmatched_ours
-        assert report.matched_by_name == 1
+        # partial name coverage is NOT trusted (offset-counter h5s contain
+        # colliding names); the kernel resolves via the ordered pass instead
+        assert report.matched_by_name == 0 and report.matched_by_order == 1
 
 
 class TestH5RoundTripZoo:
