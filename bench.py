@@ -129,7 +129,7 @@ def measure_cpu_baseline(names) -> float:
         return 1.0 / (time.perf_counter() - t0)
 
 
-def _build_fused(names, batch, dtype, bucket_sizes=False):
+def _build_fused(names, batch, dtype, bucket_sizes=False, int8_pointwise=False):
     import jax
 
     from building_detection_tpu.core.config import TilerConfig
@@ -141,10 +141,13 @@ def _build_fused(names, batch, dtype, bucket_sizes=False):
         params, state = init_model(name, jax.random.key(i), (1, 512, 512, 3))
         members[name] = (MODEL_REGISTRY[name], params, state)
     cfg = TilerConfig(bucket_sizes=bucket_sizes)
-    return FusedEnsemblePredictor(members, cfg, batch_tiles=batch, compute_dtype=dtype)
+    return FusedEnsemblePredictor(
+        members, cfg, batch_tiles=batch, compute_dtype=dtype,
+        int8_pointwise=int8_pointwise,
+    )
 
 
-def measure_fused_forward(names, batch, iters, dtype):
+def measure_fused_forward(names, batch, iters, dtype, int8_pointwise=False):
     """Compute throughput of the production fused-ensemble program (tile
     gather + 5 model forwards + argmax + scatter-OR + bitplane pack) with
     scene groups resident in HBM.
@@ -156,7 +159,7 @@ def measure_fused_forward(names, batch, iters, dtype):
 
     from building_detection_tpu.ops import tiling as T
 
-    pred = _build_fused(names, batch, dtype)
+    pred = _build_fused(names, batch, dtype, int8_pointwise=int8_pointwise)
     rng = np.random.RandomState(0)
     plan = T.plan_tiles(2048, 2048, pred.cfg)
     group = pred._group_size(plan.num_tiles)
@@ -306,6 +309,13 @@ def main() -> int:
     if mode == "fused":
         tps, fps = measure_fused_forward(names, batch, iters, jnp.bfloat16)
         metric = "ensemble_fused_forward_512_tiles_per_sec_per_chip"
+    elif mode == "int8":
+        # opt-in int8 MXU pointwise convs (not mask-parity; see
+        # docs/ARCHITECTURE.md round-3 int8 probes)
+        tps, fps = measure_fused_forward(
+            names, batch, iters, jnp.bfloat16, int8_pointwise=True
+        )
+        metric = "ensemble_fused_int8pw_512_tiles_per_sec_per_chip"
     elif mode == "scene":
         tps, fps = measure_scene(names, batch, iters, jnp.bfloat16)
         metric = "ensemble_scene_512_tiles_per_sec_per_chip"

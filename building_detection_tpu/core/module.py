@@ -60,6 +60,7 @@ class Scope:
         train: bool = False,
         dtype: jnp.dtype = jnp.float32,
         compute_dtype: Optional[jnp.dtype] = None,
+        int8_pointwise: bool = False,
     ):
         assert mode in (INIT, APPLY)
         self.mode = mode
@@ -72,6 +73,12 @@ class Scope:
         # dtype activations are computed in (bf16 on TPU for speed, f32 for
         # bit-parity testing).  Params are always stored in `dtype`.
         self.compute_dtype = compute_dtype or dtype
+        # opt-in inference quantization: 1x1 convolutions and separable-conv
+        # pointwise steps run as int8 x int8 -> int32 MXU matmuls (measured
+        # 1.24-1.63x over bf16 on the Xception pointwise shapes; spatial
+        # convs measured ~1.0x and stay bf16 — docs/ARCHITECTURE.md).
+        # NOT bit-parity with the reference; never active in training.
+        self.int8_pointwise = int8_pointwise
         self._counters: Dict[str, int] = {}
 
     # -- naming ----------------------------------------------------------
@@ -188,6 +195,7 @@ def apply(
     train: bool = False,
     rng: Optional[Array] = None,
     compute_dtype=None,
+    int8_pointwise: bool = False,
     **kwargs,
 ):
     """Pure functional application: returns (outputs, new_state).
@@ -205,6 +213,7 @@ def apply(
         if params
         else jnp.float32,
         compute_dtype=compute_dtype,
+        int8_pointwise=int8_pointwise,
     )
     out = fn(scope, *args, **kwargs)
     if scope.new_state:

@@ -52,6 +52,7 @@ class TiledPredictor:
         mesh=None,
         device=None,
         tp: bool = False,
+        int8_pointwise: bool = False,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis; tile
         batches shard across it (tile data parallelism over ICI — SURVEY.md
@@ -69,6 +70,7 @@ class TiledPredictor:
         n_data = 1 if mesh is None else mesh.shape.get("data", 1)
         self.batch_tiles = batch_tiles * n_data
         self.compute_dtype = compute_dtype
+        self.int8_pointwise = int8_pointwise
         if mesh is not None:
             if tp:
                 from building_detection_tpu.parallel.tp import (
@@ -144,6 +146,7 @@ class TiledPredictor:
                     state,
                     tiles,
                     compute_dtype=self.compute_dtype,
+                    int8_pointwise=self.int8_pointwise,
                 )
                 masks = (jnp.argmax(probs, axis=-1) == 1).astype(jnp.uint8)
 
@@ -244,6 +247,7 @@ class EnsemblePredictor:
         batch_tiles: int = 8,
         compute_dtype=jnp.bfloat16,
         devices: Optional[list] = None,
+        int8_pointwise: bool = False,
     ):
         """``devices``: assign ensemble members round-robin to these devices
         (model parallelism over the ensemble, SURVEY.md section 2.3's
@@ -259,6 +263,7 @@ class EnsemblePredictor:
                 batch_tiles,
                 compute_dtype,
                 device=devices[i % len(devices)] if devices else None,
+                int8_pointwise=int8_pointwise,
             )
             for i, (name, (fn, params, state)) in enumerate(members.items())
         }

@@ -78,6 +78,7 @@ class FusedEnsemblePredictor:
         batch_tiles: int = 128,
         compute_dtype=jnp.bfloat16,
         mesh=None,
+        int8_pointwise: bool = False,
     ):
         self.names = list(members)
         self.fns = {n: members[n][0] for n in self.names}
@@ -102,6 +103,9 @@ class FusedEnsemblePredictor:
         n_dev = 1 if mesh is None else mesh.devices.size
         self.batch_tiles = batch_tiles * n_dev
         self.compute_dtype = compute_dtype
+        # opt-in int8 MXU pointwise convs (docs/ARCHITECTURE.md round-3
+        # probes): faster on the Xception members, NOT mask-parity
+        self.int8_pointwise = int8_pointwise
         if mesh is not None:
             from building_detection_tpu.parallel import mesh as pmesh
 
@@ -180,6 +184,7 @@ class FusedEnsemblePredictor:
                         states[name],
                         tiles,
                         compute_dtype=self.compute_dtype,
+                        int8_pointwise=self.int8_pointwise,
                     )
                     m = (jnp.argmax(probs, axis=-1) == 1).astype(jnp.uint8)
                     packed = packed | (m << bit)

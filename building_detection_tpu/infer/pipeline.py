@@ -60,6 +60,7 @@ class Pipeline:
         fused: bool = True,
         mesh=None,
         h5_strict: bool = True,
+        int8_pointwise: bool = False,
     ):
         """``fused=True`` traces the whole ensemble into one XLA program per
         scene shape (bit-identical to per-model execution, fewer dispatches,
@@ -113,11 +114,13 @@ class Pipeline:
             )
 
             self.ensemble = FusedEnsemblePredictor(
-                members, cfg.tiler, batch_tiles, compute_dtype, mesh=mesh
+                members, cfg.tiler, batch_tiles, compute_dtype, mesh=mesh,
+                int8_pointwise=int8_pointwise,
             )
         else:
             self.ensemble = EnsemblePredictor(
-                members, cfg.tiler, batch_tiles, compute_dtype
+                members, cfg.tiler, batch_tiles, compute_dtype,
+                int8_pointwise=int8_pointwise,
             )
         self.timer = StageTimer()
 

@@ -56,6 +56,52 @@ def _activate(x: Array, activation: Optional[str]) -> Array:
     raise ValueError(f"unknown activation {activation!r}")
 
 
+def _int8_pointwise_matmul(s: Scope, x: Array, w: Array) -> Array:
+    """1x1 conv as an int8 x int8 -> int32 MXU matmul, for inference.
+
+    Dynamic per-tensor activation scale, static per-output-channel weight
+    scales; output dequantized to ``compute_dtype``.  Measured on the chip
+    (docs/ARCHITECTURE.md round-3 int8 probes): 1.24x over bf16 at 768
+    channels, 1.63x at 2048 — the only path past the round-2 ~52% ensemble
+    MFU ceiling.  Used only under ``Scope.int8_pointwise`` (opt-in: output
+    differs from bf16/f32 at ~1e-2 relative, so mask parity is voided).
+    ``w`` is (kh=1, kw=1, in_ch, out_ch) or (in_ch, out_ch).
+    """
+    in_ch = x.shape[-1]
+    w2 = w.reshape(in_ch, -1).astype(jnp.float32)
+    # scale reduction in f32, but the elementwise quantize stays in
+    # compute_dtype: a full f32 copy of the activations doubled peak HBM and
+    # OOM'd the batch-128 fused ensemble (bf16 has 8 mantissa bits — exact
+    # for the int8 grid's integers, and the divide's ~0.4% rounding is
+    # below the 1/254 quantization step anyway)
+    sx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8) / 127.0
+    inv_sx = (1.0 / sx).astype(x.dtype)
+    xq = jnp.clip(jnp.round(x * inv_sx), -127, 127).astype(jnp.int8)
+    sw = jnp.maximum(jnp.max(jnp.abs(w2), axis=0), 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(w2 / sw), -127, 127).astype(jnp.int8)
+    acc = lax.dot_general(
+        xq.reshape(-1, in_ch),
+        wq,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    # dequant fuses into the dot's consumer; keep the scaled result in
+    # compute_dtype so no f32-sized activation ever materialises
+    y = acc.astype(s.compute_dtype) * (sx * sw).astype(s.compute_dtype)
+    return y.reshape(x.shape[:-1] + (w2.shape[-1],))
+
+
+def _use_int8(s: Scope, kh, kw, strides, dilation) -> bool:
+    return (
+        getattr(s, "int8_pointwise", False)
+        and not s.train
+        and s.mode == "apply"
+        and (kh, kw) == (1, 1)
+        and _pair(strides) == (1, 1)
+        and _pair(dilation) == (1, 1)
+    )
+
+
 def conv2d(
     s: Scope,
     x: Array,
@@ -75,14 +121,17 @@ def conv2d(
     kh, kw = _pair(kernel_size)
     in_ch = x.shape[-1]
     w = s.param(f"{name}/kernel", (kh, kw, in_ch, features), kernel_init)
-    y = lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=_pair(strides),
-        padding=padding,
-        rhs_dilation=_pair(dilation),
-        dimension_numbers=_DIMS,
-    )
+    if _use_int8(s, kh, kw, strides, dilation):
+        y = _int8_pointwise_matmul(s, x, w)
+    else:
+        y = lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=_pair(strides),
+            padding=padding,
+            rhs_dilation=_pair(dilation),
+            dimension_numbers=_DIMS,
+        )
     if use_bias:
         b = s.param(f"{name}/bias", (features,), zeros_init)
         y = y + b
@@ -121,13 +170,18 @@ def separable_conv2d(
         dimension_numbers=_DIMS,
         feature_group_count=in_ch,
     )
-    y = lax.conv_general_dilated(
-        y,
-        pw,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=_DIMS,
-    )
+    if _use_int8(s, 1, 1, 1, 1):
+        # depthwise stays bf16 on the VPU; the pointwise projection is the
+        # MXU matmul where int8 measured 1.24-1.63x (docs/ARCHITECTURE.md)
+        y = _int8_pointwise_matmul(s, y, pw)
+    else:
+        y = lax.conv_general_dilated(
+            y,
+            pw,
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=_DIMS,
+        )
     if use_bias:
         b = s.param(f"{name}/bias", (features,), zeros_init)
         y = y + b

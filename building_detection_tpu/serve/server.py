@@ -166,6 +166,12 @@ class DetectionService:
         os.makedirs(self.receive_dir, exist_ok=True)
         os.makedirs(self.result_dir, exist_ok=True)
         self._dir_lock = threading.Lock()
+        # serialize same-client requests end-to-end: handle_photo rmtree's
+        # and re-creates the per-client dir per request (the reference's
+        # del_file, `buildAPI.py:92`), so without this a concurrent request
+        # from ONE client could delete the dir while another is writing its
+        # result (the reference is single-threaded; this server is not)
+        self._client_locks: dict = {}
         self._batcher = _MicroBatcher(pipeline)
 
     @staticmethod
@@ -200,26 +206,34 @@ class DetectionService:
             client_id = client_id or "anonymous"
             user_path = self._user_dir(client_id)
             with self._dir_lock:
+                client_lock = self._client_locks.setdefault(
+                    client_id, threading.Lock()
+                )
+            # hold the client's lock across dir reset -> predict -> result
+            # write: two concurrent requests from ONE client serialize
+            # instead of one deleting the dir the other is writing into
+            # (cross-client requests still run concurrently and micro-batch)
+            with client_lock:
                 if os.path.exists(user_path):
                     shutil.rmtree(user_path)  # del_file per request (buildAPI.py:92)
                 os.makedirs(user_path, exist_ok=True)
 
-            # save the upload (buildAPI.py:104-109) under a per-request
-            # unique name so concurrent same-named uploads can't collide
-            base = os.path.basename(filename) or "upload"
-            file_path = os.path.join(
-                self.receive_dir, f"{uuid.uuid4().hex[:8]}_{base}"
-            )
-            with open(file_path, "wb") as f:
-                f.write(payload)
+                # save the upload (buildAPI.py:104-109) under a per-request
+                # unique name so concurrent same-named uploads can't collide
+                base = os.path.basename(filename) or "upload"
+                file_path = os.path.join(
+                    self.receive_dir, f"{uuid.uuid4().hex[:8]}_{base}"
+                )
+                with open(file_path, "wb") as f:
+                    f.write(payload)
 
-            image = uio.imread_rgb(file_path)
-            result = self._batcher.predict(image)
+                image = uio.imread_rgb(file_path)
+                result = self._batcher.predict(image)
 
-            result_path = os.path.join(user_path, "result.png")
-            uio.imwrite(result_path, result.fused)
-            with open(result_path, "rb") as f:
-                data_b64 = base64.b64encode(f.read()).decode("ascii")
+                result_path = os.path.join(user_path, "result.png")
+                uio.imwrite(result_path, result.fused)
+                with open(result_path, "rb") as f:
+                    data_b64 = base64.b64encode(f.read()).decode("ascii")
 
             points = uio.points_dict(result.corners)
             return {

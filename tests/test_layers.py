@@ -234,3 +234,43 @@ class TestModuleSystem:
             np.asarray(M.apply(model, params, state, x)[0]),
             rtol=1e-6,
         )
+
+
+class TestInt8Pointwise:
+    """Opt-in int8 MXU pointwise path (docs/ARCHITECTURE.md round 3)."""
+
+    @staticmethod
+    def _model(s, x):
+        x = L.separable_conv2d(s, x, 16, 3, activation="relu")
+        x = L.conv2d(s, x, 8, 1)
+        return L.conv2d(s, x, 2, 3, activation="softmax")
+
+    def test_close_to_f32_and_train_unaffected(self):
+        params, state = M.init(self._model, jax.random.key(0), jnp.zeros((2, 16, 16, 3)))
+        x = jax.random.uniform(jax.random.key(1), (2, 16, 16, 3), minval=-1, maxval=1)
+        ref, _ = M.apply(self._model, params, state, x)
+        q, _ = M.apply(self._model, params, state, x, int8_pointwise=True)
+        ref, q = np.asarray(ref), np.asarray(q)
+        assert np.isfinite(q).all()
+        # quantization noise is bounded but nonzero (the flag is opt-in
+        # precisely because it voids pixel parity)
+        assert np.abs(q - ref).max() < 0.1
+        assert (q.argmax(-1) == ref.argmax(-1)).mean() > 0.95
+        # training ignores the flag entirely (bit-identical path)
+        t1, _ = M.apply(self._model, params, state, x, train=True, int8_pointwise=True)
+        t2, _ = M.apply(self._model, params, state, x, train=True)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+    def test_strided_and_spatial_convs_not_quantized(self):
+        """Only 1x1 stride-1 dilation-1 projections take the int8 path;
+        everything else is bit-identical with the flag on."""
+        def model(s, x):
+            x = L.conv2d(s, x, 8, 3, strides=2)     # spatial + strided
+            x = L.conv2d(s, x, 8, 1, strides=2)     # 1x1 but strided
+            return L.conv2d(s, x, 8, 3, dilation=2)  # dilated
+
+        params, state = M.init(model, jax.random.key(2), jnp.zeros((1, 16, 16, 3)))
+        x = jax.random.uniform(jax.random.key(3), (1, 16, 16, 3), minval=-1, maxval=1)
+        a, _ = M.apply(model, params, state, x)
+        b, _ = M.apply(model, params, state, x, int8_pointwise=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
