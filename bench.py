@@ -15,7 +15,11 @@ the constant below (measured on this host, see BASELINE.md) is used.
 Extra keys: ``tflops`` (achieved, from XLA cost analysis) and ``mfu``
 (fraction of BDT_PEAK_FLOPS, default v5e bf16 peak 197e12).
 
-Env knobs: BDT_BENCH_MODE (fused|scene|scene_mixed|ensemble|train;
+Env knobs: BDT_BENCH_MODE (fused|int8|scene|scene_mixed|ensemble|train;
+``int8`` = fused program with the opt-in int8 MXU pointwise convs —
+measured bf16-parity at best, not mask-parity (docs/ARCHITECTURE.md
+round 3: the isolated 1.24-1.63x matmul wins are consumed by
+quantize/dequant site boundaries);
 ``fused`` = production fused program, HBM-resident scene groups — the
 low-variance compute number; ``scene`` = end-to-end incl. the dev tunnel's
 noisy ~20-35 MB/s transfers),
@@ -129,10 +133,13 @@ def measure_cpu_baseline(names) -> float:
         return 1.0 / (time.perf_counter() - t0)
 
 
-def _build_fused(names, batch, dtype, bucket_sizes=False, int8_pointwise=False):
+def _build_fused(
+    names, batch, dtype, bucket_sizes=False, int8_pointwise=False,
+    int8_calibrate=False,
+):
     import jax
 
-    from building_detection_tpu.core.config import TilerConfig
+    from building_detection_tpu.core.config import Config, TilerConfig
     from building_detection_tpu.infer.fused_ensemble import FusedEnsemblePredictor
     from building_detection_tpu.models.registry import MODEL_REGISTRY, init_model
 
@@ -141,13 +148,30 @@ def _build_fused(names, batch, dtype, bucket_sizes=False, int8_pointwise=False):
         params, state = init_model(name, jax.random.key(i), (1, 512, 512, 3))
         members[name] = (MODEL_REGISTRY[name], params, state)
     cfg = TilerConfig(bucket_sizes=bucket_sizes)
+    int8_scales = None
+    if int8_pointwise and int8_calibrate:
+        # static calibrated activation scales: the quantize becomes a pure
+        # elementwise op XLA fuses into the producer (the dynamic per-call
+        # max costs extra HBM passes — docs/ARCHITECTURE.md round 3)
+        import numpy as np
+
+        from building_detection_tpu.infer.pipeline import calibrate_members_int8
+
+        rng = np.random.RandomState(7)
+        calib = [rng.randint(0, 256, (1024, 1024, 3), np.uint8)]
+        int8_scales = calibrate_members_int8(
+            members, calib, cfg=Config(tiler=cfg), compute_dtype=dtype,
+            int8_pointwise=int8_pointwise, max_tiles=8, chunk=8,
+        )
     return FusedEnsemblePredictor(
         members, cfg, batch_tiles=batch, compute_dtype=dtype,
-        int8_pointwise=int8_pointwise,
+        int8_pointwise=int8_pointwise, int8_scales=int8_scales,
     )
 
 
-def measure_fused_forward(names, batch, iters, dtype, int8_pointwise=False):
+def measure_fused_forward(
+    names, batch, iters, dtype, int8_pointwise=False, int8_calibrate=False,
+):
     """Compute throughput of the production fused-ensemble program (tile
     gather + 5 model forwards + argmax + scatter-OR + bitplane pack) with
     scene groups resident in HBM.
@@ -159,7 +183,10 @@ def measure_fused_forward(names, batch, iters, dtype, int8_pointwise=False):
 
     from building_detection_tpu.ops import tiling as T
 
-    pred = _build_fused(names, batch, dtype, int8_pointwise=int8_pointwise)
+    pred = _build_fused(
+        names, batch, dtype, int8_pointwise=int8_pointwise,
+        int8_calibrate=int8_calibrate,
+    )
     rng = np.random.RandomState(0)
     plan = T.plan_tiles(2048, 2048, pred.cfg)
     group = pred._group_size(plan.num_tiles)
@@ -311,9 +338,14 @@ def main() -> int:
         metric = "ensemble_fused_forward_512_tiles_per_sec_per_chip"
     elif mode == "int8":
         # opt-in int8 MXU pointwise convs (not mask-parity; see
-        # docs/ARCHITECTURE.md round-3 int8 probes)
+        # docs/ARCHITECTURE.md round-3 int8 probes).  BDT_INT8_FLAG: True
+        # or a min-input-channel threshold; BDT_INT8_CALIB=0 forces the
+        # dynamic per-call activation scale (slow path, for A/B probes).
+        flag_env = os.environ.get("BDT_INT8_FLAG", "512")
+        flag = True if flag_env in ("1", "true", "True") else int(flag_env)
         tps, fps = measure_fused_forward(
-            names, batch, iters, jnp.bfloat16, int8_pointwise=True
+            names, batch, iters, jnp.bfloat16, int8_pointwise=flag,
+            int8_calibrate=os.environ.get("BDT_INT8_CALIB", "1") != "0",
         )
         metric = "ensemble_fused_int8pw_512_tiles_per_sec_per_chip"
     elif mode == "scene":

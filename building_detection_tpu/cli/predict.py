@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--config", help="JSON config overriding the reference constants")
     p.add_argument(
+        "--int8",
+        action="store_true",
+        help="opt-in int8 MXU pointwise convs, calibrated on the input "
+        "scenes (faster on the Xception members; NOT mask-parity — "
+        "docs/ARCHITECTURE.md round 3)",
+    )
+    p.add_argument(
         "--bucket",
         action="store_true",
         help="bucket program shapes so mixed scene sizes share compiled "
@@ -81,9 +88,6 @@ def main(argv=None) -> int:
             if os.path.exists(path):
                 weights[name] = path
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
-    pipe = Pipeline(
-        weights=weights, cfg=cfg, batch_tiles=args.batch_tiles, compute_dtype=dtype
-    )
 
     if args.image:
         images = [args.image]
@@ -101,6 +105,15 @@ def main(argv=None) -> int:
 
     # decode everything, run device work pipelined, post-process per scene
     arrays = [uio.imread_rgb(p) for p in images]
+    pipe = Pipeline(
+        weights=weights, cfg=cfg, batch_tiles=args.batch_tiles,
+        # 512 = min input channels: quantize only the large-K Xception
+        # projections (every-site quantization raises peak HBM and loses
+        # to bf16 — docs/ARCHITECTURE.md round 3)
+        compute_dtype=dtype, int8_pointwise=512 if args.int8 else False,
+        # the input scenes themselves are the ideal calibration set
+        int8_calibration=arrays[:2] if args.int8 else None,
+    )
     if args.fast_vote:
         from building_detection_tpu.post import edges as E_mod
 

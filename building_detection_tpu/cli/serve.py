@@ -21,6 +21,23 @@ def build_parser() -> argparse.ArgumentParser:
         help="disable bucketed program shapes (bucketing lets mixed upload "
         "sizes share compiled programs; output is bit-identical)",
     )
+    p.add_argument(
+        "--int8",
+        action="store_true",
+        help="opt-in int8 MXU pointwise convs (faster Xception members; "
+        "NOT mask-parity — docs/ARCHITECTURE.md round 3)",
+    )
+    p.add_argument(
+        "--int8-scales",
+        help="JSON calibration scales from pipeline.save_int8_scales; "
+        "with --int8 but no file, falls back to dynamic per-call scales "
+        "(numerically safe, slower)",
+    )
+    p.add_argument(
+        "--int8-calibration-dir",
+        help="directory of representative images to calibrate on at "
+        "startup (alternative to --int8-scales)",
+    )
     return p
 
 
@@ -46,11 +63,32 @@ def main(argv=None) -> int:
     from building_detection_tpu.core.config import TilerConfig
 
     cfg = Config(tiler=TilerConfig(bucket_sizes=not args.no_bucket))
+    int8_scales = None
+    int8_calibration = None
+    if args.int8 and args.int8_scales:
+        from building_detection_tpu.infer.pipeline import load_int8_scales
+
+        int8_scales = load_int8_scales(args.int8_scales)
+    elif args.int8 and args.int8_calibration_dir:
+        from building_detection_tpu.utils import io as uio
+
+        names = [
+            f
+            for f in sorted(os.listdir(args.int8_calibration_dir))
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".tif", ".tiff"))
+        ]
+        int8_calibration = [
+            uio.imread_rgb(os.path.join(args.int8_calibration_dir, f))
+            for f in names[:4]
+        ]
     pipe = Pipeline(
         weights=weights,
         cfg=cfg,
         batch_tiles=args.batch_tiles,
         compute_dtype=jnp.bfloat16 if args.precision == "bf16" else jnp.float32,
+        int8_pointwise=512 if args.int8 else False,
+        int8_calibration=int8_calibration,
+        int8_scales=int8_scales,
     )
     print("模型加载完成 (models loaded)")
     serve(pipe, cfg, root_dir=args.root_dir, host=args.host, port=args.port)

@@ -61,6 +61,8 @@ class Scope:
         dtype: jnp.dtype = jnp.float32,
         compute_dtype: Optional[jnp.dtype] = None,
         int8_pointwise: bool = False,
+        int8_scales: Optional[Dict[str, Array]] = None,
+        int8_amax: Optional[Dict[str, Array]] = None,
     ):
         assert mode in (INIT, APPLY)
         self.mode = mode
@@ -79,6 +81,16 @@ class Scope:
         # convs measured ~1.0x and stay bf16 — docs/ARCHITECTURE.md).
         # NOT bit-parity with the reference; never active in training.
         self.int8_pointwise = int8_pointwise
+        # Static per-site activation scales from calibration
+        # (``calibrate_int8``): {site name -> f32 scalar amax}.  With these,
+        # the quantize is a pure elementwise op (no data-dependent reduce),
+        # so XLA fuses it into the producing fusion and the bf16->int8
+        # round-trip costs no extra HBM pass.  Without them each site falls
+        # back to a dynamic per-tensor max (safe but ~2 extra HBM passes).
+        self.int8_scales = int8_scales
+        # When not None, each active int8 site records its observed
+        # per-tensor amax here during the call (calibration collection).
+        self.int8_amax = int8_amax
         self._counters: Dict[str, int] = {}
 
     # -- naming ----------------------------------------------------------
@@ -196,6 +208,8 @@ def apply(
     rng: Optional[Array] = None,
     compute_dtype=None,
     int8_pointwise: bool = False,
+    int8_scales: Optional[Dict[str, Array]] = None,
+    int8_amax: Optional[Dict[str, Array]] = None,
     **kwargs,
 ):
     """Pure functional application: returns (outputs, new_state).
@@ -214,6 +228,8 @@ def apply(
         else jnp.float32,
         compute_dtype=compute_dtype,
         int8_pointwise=int8_pointwise,
+        int8_scales=int8_scales,
+        int8_amax=int8_amax,
     )
     out = fn(scope, *args, **kwargs)
     if scope.new_state:
@@ -222,6 +238,56 @@ def apply(
     else:
         new_state = state
     return out, new_state
+
+
+def calibrate_int8(
+    fn: Callable[..., Any],
+    params: Dict[str, Array],
+    state: Dict[str, Array],
+    batches,
+    *,
+    int8_pointwise=True,
+    compute_dtype=None,
+    **kwargs,
+) -> Dict[str, float]:
+    """Collect per-site activation ``amax`` for the int8 pointwise path.
+
+    Runs ``fn`` over the calibration ``batches`` (an iterable of input
+    arrays, already normalized exactly as inference normalizes them) with
+    ``Scope.int8_amax`` recording enabled, and returns
+    ``{site name -> max |activation| observed}`` — the dict to pass back as
+    ``int8_scales`` for static-scale quantization.  ``int8_pointwise``
+    should be the same flag value (bool or min-channel int) that inference
+    will use, so the recorded sites match the active sites.
+
+    With static scales the quantize is a pure elementwise op XLA fuses
+    into the producing fusion; the dynamic fallback's data-dependent max
+    costs ~2 extra HBM passes over the activations and measured slower
+    than bf16 end-to-end (docs/ARCHITECTURE.md round 3).  The reference
+    has no quantized path; this exists only behind the opt-in flag.
+    """
+
+    @jax.jit
+    def observe(p, st, x):
+        amax: Dict[str, Array] = {}
+        apply(
+            fn,
+            p,
+            st,
+            x,
+            int8_pointwise=int8_pointwise,
+            int8_amax=amax,
+            compute_dtype=compute_dtype,
+            **kwargs,
+        )
+        return amax
+
+    scales: Dict[str, float] = {}
+    for x in batches:
+        observed = observe(params, state, x)
+        for site, v in observed.items():
+            scales[site] = max(scales.get(site, 0.0), float(v))
+    return scales
 
 
 def param_count(params: Dict[str, Array]) -> int:

@@ -53,6 +53,7 @@ class TiledPredictor:
         device=None,
         tp: bool = False,
         int8_pointwise: bool = False,
+        int8_scales: Optional[dict] = None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis; tile
         batches shard across it (tile data parallelism over ICI — SURVEY.md
@@ -71,6 +72,10 @@ class TiledPredictor:
         self.batch_tiles = batch_tiles * n_data
         self.compute_dtype = compute_dtype
         self.int8_pointwise = int8_pointwise
+        # static per-site activation amax from core.module.calibrate_int8;
+        # baked into the traced program as constants (fast path — the
+        # dynamic fallback's per-call max measured slower than bf16)
+        self.int8_scales = int8_scales
         if mesh is not None:
             if tp:
                 from building_detection_tpu.parallel.tp import (
@@ -147,6 +152,7 @@ class TiledPredictor:
                     tiles,
                     compute_dtype=self.compute_dtype,
                     int8_pointwise=self.int8_pointwise,
+                    int8_scales=self.int8_scales,
                 )
                 masks = (jnp.argmax(probs, axis=-1) == 1).astype(jnp.uint8)
 
@@ -248,6 +254,7 @@ class EnsemblePredictor:
         compute_dtype=jnp.bfloat16,
         devices: Optional[list] = None,
         int8_pointwise: bool = False,
+        int8_scales: Optional[Dict[str, dict]] = None,
     ):
         """``devices``: assign ensemble members round-robin to these devices
         (model parallelism over the ensemble, SURVEY.md section 2.3's
@@ -264,6 +271,7 @@ class EnsemblePredictor:
                 compute_dtype,
                 device=devices[i % len(devices)] if devices else None,
                 int8_pointwise=int8_pointwise,
+                int8_scales=(int8_scales or {}).get(name),
             )
             for i, (name, (fn, params, state)) in enumerate(members.items())
         }

@@ -28,7 +28,7 @@ Two throughput levers measured on v5e (bench r2, clean on-device timing):
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, List, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -79,6 +79,7 @@ class FusedEnsemblePredictor:
         compute_dtype=jnp.bfloat16,
         mesh=None,
         int8_pointwise: bool = False,
+        int8_scales: Optional[Dict[str, dict]] = None,
     ):
         self.names = list(members)
         self.fns = {n: members[n][0] for n in self.names}
@@ -106,6 +107,10 @@ class FusedEnsemblePredictor:
         # opt-in int8 MXU pointwise convs (docs/ARCHITECTURE.md round-3
         # probes): faster on the Xception members, NOT mask-parity
         self.int8_pointwise = int8_pointwise
+        # {model name -> {site -> amax}} from core.module.calibrate_int8;
+        # static scales bake into the fused program as constants and keep
+        # the quantize fusable (the dynamic fallback measured slower)
+        self.int8_scales = int8_scales or {}
         if mesh is not None:
             from building_detection_tpu.parallel import mesh as pmesh
 
@@ -185,6 +190,7 @@ class FusedEnsemblePredictor:
                         tiles,
                         compute_dtype=self.compute_dtype,
                         int8_pointwise=self.int8_pointwise,
+                        int8_scales=self.int8_scales.get(name),
                     )
                     m = (jnp.argmax(probs, axis=-1) == 1).astype(jnp.uint8)
                     packed = packed | (m << bit)

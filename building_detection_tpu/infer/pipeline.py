@@ -15,8 +15,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from building_detection_tpu.core import module as M
 from building_detection_tpu.core.config import Config
 from building_detection_tpu.infer.engine import EnsemblePredictor
+from building_detection_tpu.ops import tiling as T
 from building_detection_tpu.models.registry import (
     ENSEMBLE_ORDER,
     MODEL_REGISTRY,
@@ -27,6 +29,87 @@ from building_detection_tpu.post import fusion as F
 from building_detection_tpu.train.checkpoint import load_variables
 from building_detection_tpu.utils import io as uio
 from building_detection_tpu.utils.profiling import StageTimer
+
+
+def _calibration_tiles(
+    scenes: List[np.ndarray], cfg: Config, max_tiles: int
+) -> np.ndarray:
+    """Host-side: (N, tile, tile, 3) uint8 calibration tiles cut from RGB
+    scenes with the inference tiler geometry (`predict.py:98-106`)."""
+    tile = cfg.tiler.tile
+    out: List[np.ndarray] = []
+    for img in scenes:
+        h, w = img.shape[:2]
+        plan = T.plan_tiles(h, w, cfg.tiler)
+        canvas = np.zeros((plan.canvas_h, plan.canvas_w, 3), np.uint8)
+        canvas[:h, :w] = img
+        for oy, ox in np.asarray(T.origins_array(plan)):
+            out.append(canvas[oy : oy + tile, ox : ox + tile])
+            if len(out) >= max_tiles:
+                return np.stack(out)
+    if not out:
+        raise ValueError("int8 calibration needs at least one scene")
+    return np.stack(out)
+
+
+def calibrate_members_int8(
+    members: Dict[str, tuple],
+    scenes: List[np.ndarray],
+    cfg: Config = Config(),
+    compute_dtype=jnp.bfloat16,
+    int8_pointwise=True,
+    max_tiles: int = 32,
+    chunk: int = 8,
+) -> Dict[str, Dict[str, float]]:
+    """Per-member int8 activation calibration over representative scenes.
+
+    Returns ``{model name -> {site -> amax}}`` for the predictors'
+    ``int8_scales``.  Tiles are cut and normalized exactly as inference
+    does; ``int8_pointwise`` must match the inference flag so the
+    calibrated sites are the active ones.  One fixed ``chunk`` shape keeps
+    it to a single compile per member.
+    """
+    tiles = _calibration_tiles(scenes, cfg, max_tiles)
+    n = tiles.shape[0]
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    if pad:
+        tiles = np.concatenate([tiles, tiles[:pad]], axis=0)
+    batches = [tiles[i : i + chunk] for i in range(0, tiles.shape[0], chunk)]
+    scales: Dict[str, Dict[str, float]] = {}
+    for name, (fn, params, state) in members.items():
+        def fn_u8(scope, xu8, _fn=fn):
+            return _fn(scope, T.normalize(xu8, cfg.tiler, dtype=compute_dtype))
+
+        scales[name] = M.calibrate_int8(
+            fn_u8,
+            params,
+            state,
+            batches,
+            int8_pointwise=int8_pointwise,
+            compute_dtype=compute_dtype,
+        )
+    return scales
+
+
+def save_int8_scales(path: str, scales: Dict[str, Dict[str, float]]) -> None:
+    """Persist calibration scales as JSON (calibrate once, serve forever)."""
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(scales, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def load_int8_scales(path: str) -> Dict[str, Dict[str, float]]:
+    import json
+
+    with open(path) as f:
+        scales = json.load(f)
+    return {
+        m: {site: float(v) for site, v in d.items()} for m, d in scales.items()
+    }
 
 
 @dataclasses.dataclass
@@ -61,6 +144,8 @@ class Pipeline:
         mesh=None,
         h5_strict: bool = True,
         int8_pointwise: bool = False,
+        int8_calibration: Optional[List[np.ndarray]] = None,
+        int8_scales: Optional[Dict[str, Dict[str, float]]] = None,
     ):
         """``fused=True`` traces the whole ensemble into one XLA program per
         scene shape (bit-identical to per-model execution, fewer dispatches,
@@ -71,7 +156,15 @@ class Pipeline:
         74.5 at batch 128 — the 512x512x64 stem convs lay out with batch as
         the MXU lane dimension, so smaller batches underfill the array).
         Single scenes smaller than the budget still run at their own tile
-        count; ``predict_images`` groups same-shape scenes to fill it."""
+        count; ``predict_images`` groups same-shape scenes to fill it.
+
+        ``int8_pointwise`` (bool or min-input-channel int) opts into int8
+        MXU pointwise convs — faster Xception members, NOT mask-parity
+        (docs/ARCHITECTURE.md round 3).  Production use should supply
+        either ``int8_scales`` (from :func:`load_int8_scales`) or
+        ``int8_calibration`` (representative RGB scenes, calibrated here
+        at startup); without both, sites fall back to dynamic per-call
+        activation scales (numerically safe, measured slower)."""
         self.cfg = cfg
         weights = weights or {}
         members = {}
@@ -108,6 +201,21 @@ class Pipeline:
                     name, jax.random.key(seed + i), (1, cfg.tiler.tile, cfg.tiler.tile, 3)
                 )
             members[name] = (fn, params, state)
+        if int8_pointwise and int8_scales is None and int8_calibration:
+            # One pass over representative scenes collects per-site
+            # activation amax; static scales then bake into the inference
+            # program as constants, keeping the quantize fusable (the
+            # dynamic per-call max measured slower than bf16 end-to-end —
+            # docs/ARCHITECTURE.md round 3).
+            int8_scales = calibrate_members_int8(
+                members,
+                int8_calibration,
+                cfg=cfg,
+                compute_dtype=compute_dtype,
+                int8_pointwise=int8_pointwise,
+            )
+        # kept for save_int8_scales (calibrate once, serve with the file)
+        self.int8_scales = int8_scales
         if fused:
             from building_detection_tpu.infer.fused_ensemble import (
                 FusedEnsemblePredictor,
@@ -115,12 +223,12 @@ class Pipeline:
 
             self.ensemble = FusedEnsemblePredictor(
                 members, cfg.tiler, batch_tiles, compute_dtype, mesh=mesh,
-                int8_pointwise=int8_pointwise,
+                int8_pointwise=int8_pointwise, int8_scales=int8_scales,
             )
         else:
             self.ensemble = EnsemblePredictor(
                 members, cfg.tiler, batch_tiles, compute_dtype,
-                int8_pointwise=int8_pointwise,
+                int8_pointwise=int8_pointwise, int8_scales=int8_scales,
             )
         self.timer = StageTimer()
 

@@ -56,44 +56,82 @@ def _activate(x: Array, activation: Optional[str]) -> Array:
     raise ValueError(f"unknown activation {activation!r}")
 
 
-def _int8_pointwise_matmul(s: Scope, x: Array, w: Array) -> Array:
-    """1x1 conv as an int8 x int8 -> int32 MXU matmul, for inference.
+def _int8_pointwise_matmul(s: Scope, x: Array, w: Array, site: str) -> Array:
+    """1x1 conv as an int8 x int8 -> int32 MXU op, for inference.
 
-    Dynamic per-tensor activation scale, static per-output-channel weight
-    scales; output dequantized to ``compute_dtype``.  Measured on the chip
+    Per-tensor activation scale, static per-output-channel weight scales;
+    output dequantized to ``compute_dtype``.  Isolated-matmul chip numbers
     (docs/ARCHITECTURE.md round-3 int8 probes): 1.24x over bf16 at 768
-    channels, 1.63x at 2048 — the only path past the round-2 ~52% ensemble
-    MFU ceiling.  Used only under ``Scope.int8_pointwise`` (opt-in: output
-    differs from bf16/f32 at ~1e-2 relative, so mask parity is voided).
-    ``w`` is (kh=1, kw=1, in_ch, out_ch) or (in_ch, out_ch).
+    channels, 1.63x at 2048.  End-to-end those wins do NOT transfer
+    (full fused-ensemble measurements, batch 128): quantize/dequant
+    elementwise passes at every site boundary offset the MXU gain, so the
+    best int8 configuration only TIES bf16 — see the round-3 section of
+    docs/ARCHITECTURE.md for the honest numbers.  Three measured design
+    rules are baked in here:
+
+    * the int8 op stays in CONV form on NHWC (a reshape-to-2D
+      ``dot_general`` forces layout copies: 65.6 vs 72.0 tiles/s);
+    * production use needs CALIBRATED static scales (``Scope.int8_scales``
+      via :func:`building_detection_tpu.core.module.calibrate_int8`) — a
+      dynamic per-call max adds a data-dependent reduce between producer
+      and quantize (63.6 tiles/s); sites without a calibrated scale fall
+      back to it (numerically safe, slower);
+    * only large-channel sites qualify (``int8_pointwise=512``): at
+      large-spatial sites the extra int8 activation copy raises peak HBM
+      ~6 GB and the batch-128 program OOMs.
+
+    Opt-in: output differs from bf16/f32 at ~1e-2 relative, so mask
+    parity is voided.  ``w`` is (kh=1, kw=1, in_ch, out_ch) or
+    (in_ch, out_ch).
     """
     in_ch = x.shape[-1]
     w2 = w.reshape(in_ch, -1).astype(jnp.float32)
-    # scale reduction in f32, but the elementwise quantize stays in
-    # compute_dtype: a full f32 copy of the activations doubled peak HBM and
-    # OOM'd the batch-128 fused ensemble (bf16 has 8 mantissa bits — exact
-    # for the int8 grid's integers, and the divide's ~0.4% rounding is
-    # below the 1/254 quantization step anyway)
-    sx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8) / 127.0
+    if s.int8_scales is not None and site in s.int8_scales:
+        # static calibrated scale: quantize has no reduce dependency and
+        # fuses into the producing fusion (int8 written straight to HBM)
+        sx = jnp.maximum(jnp.float32(s.int8_scales[site]), 1e-8) / 127.0
+    else:
+        # dynamic per-tensor scale; reduction in f32 but the elementwise
+        # quantize stays in compute_dtype: a full f32 activation copy
+        # doubled peak HBM and OOM'd the batch-128 fused ensemble (bf16 has
+        # 8 mantissa bits — exact for the int8 grid's integers, and the
+        # divide's ~0.4% rounding is below the 1/254 quantization step)
+        sx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8) / 127.0
+    if s.int8_amax is not None:
+        s.int8_amax[site] = jnp.max(jnp.abs(x.astype(jnp.float32)))
     inv_sx = (1.0 / sx).astype(x.dtype)
     xq = jnp.clip(jnp.round(x * inv_sx), -127, 127).astype(jnp.int8)
     sw = jnp.maximum(jnp.max(jnp.abs(w2), axis=0), 1e-8) / 127.0
     wq = jnp.clip(jnp.round(w2 / sw), -127, 127).astype(jnp.int8)
-    acc = lax.dot_general(
-        xq.reshape(-1, in_ch),
-        wq,
-        (((1,), (0,)), ((), ())),
+    # conv form on NHWC — XLA's conv->dot rewrite hits the int8 MXU path
+    # without the layout copies a host-visible reshape-to-2D dot forces
+    # (measured 72.0 vs 65.6 tiles/s on the fused ensemble)
+    acc = lax.conv_general_dilated(
+        xq,
+        wq.reshape(1, 1, in_ch, -1),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=_DIMS,
         preferred_element_type=jnp.int32,
     )
-    # dequant fuses into the dot's consumer; keep the scaled result in
+    # dequant fuses into the conv's consumer; keep the scaled result in
     # compute_dtype so no f32-sized activation ever materialises
-    y = acc.astype(s.compute_dtype) * (sx * sw).astype(s.compute_dtype)
-    return y.reshape(x.shape[:-1] + (w2.shape[-1],))
+    return acc.astype(s.compute_dtype) * (sx * sw).astype(s.compute_dtype)
 
 
-def _use_int8(s: Scope, kh, kw, strides, dilation) -> bool:
+def _use_int8(s: Scope, in_ch, kh, kw, strides, dilation) -> bool:
+    """``Scope.int8_pointwise`` may be bool or an int minimum input-channel
+    count.  End-to-end chip measurements (docs/ARCHITECTURE.md round 3):
+    the MXU only wins at large K, and at small-K/large-spatial sites the
+    extra int8 activation copies add ~6 GB peak HBM (the batch-128 fused
+    ensemble OOMs with every site quantized) — use ``512`` to restrict to
+    the Xception middle/exit-flow projections where the FLOPs live."""
+    flag = getattr(s, "int8_pointwise", False)
+    if not flag:
+        return False
+    min_ch = 1 if flag is True else int(flag)
     return (
-        getattr(s, "int8_pointwise", False)
+        in_ch >= min_ch
         and not s.train
         and s.mode == "apply"
         and (kh, kw) == (1, 1)
@@ -121,8 +159,8 @@ def conv2d(
     kh, kw = _pair(kernel_size)
     in_ch = x.shape[-1]
     w = s.param(f"{name}/kernel", (kh, kw, in_ch, features), kernel_init)
-    if _use_int8(s, kh, kw, strides, dilation):
-        y = _int8_pointwise_matmul(s, x, w)
+    if _use_int8(s, in_ch, kh, kw, strides, dilation):
+        y = _int8_pointwise_matmul(s, x, w, name)
     else:
         y = lax.conv_general_dilated(
             x,
@@ -170,10 +208,10 @@ def separable_conv2d(
         dimension_numbers=_DIMS,
         feature_group_count=in_ch,
     )
-    if _use_int8(s, 1, 1, 1, 1):
+    if _use_int8(s, in_ch, 1, 1, 1, 1):
         # depthwise stays bf16 on the VPU; the pointwise projection is the
         # MXU matmul where int8 measured 1.24-1.63x (docs/ARCHITECTURE.md)
-        y = _int8_pointwise_matmul(s, y, pw)
+        y = _int8_pointwise_matmul(s, y, pw, name)
     else:
         y = lax.conv_general_dilated(
             y,
