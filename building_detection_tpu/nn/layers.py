@@ -306,11 +306,20 @@ def batch_norm(
         axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(x.astype(jnp.float32), axis=axes)
         var = jnp.var(x.astype(jnp.float32), axis=axes)
+        # Keras normalizes with the biased batch variance but updates the
+        # moving variance with the UNBIASED one (Bessel N/(N-1) over the
+        # reduced sample count) — verified against real tf_keras 2.21
+        # (scripts/tf_train_parity_probe.py).
+        n = 1
+        for a in axes:
+            n *= x.shape[a]
+        bessel = float(n) / float(n - 1) if n > 1 else 1.0
         s.put_state(
             f"{name}/moving_mean", moving_mean * momentum + mean * (1.0 - momentum)
         )
         s.put_state(
-            f"{name}/moving_variance", moving_var * momentum + var * (1.0 - momentum)
+            f"{name}/moving_variance",
+            moving_var * momentum + (var * bessel) * (1.0 - momentum),
         )
     else:
         mean = moving_mean.astype(jnp.float32)

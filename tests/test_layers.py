@@ -150,6 +150,17 @@ class TestBatchNorm:
             0.99 * 0 + 0.01 * batch_mean,
             rtol=1e-4,
         )
+        # Keras updates moving variance with the UNBIASED batch variance
+        # (Bessel over the 8*6*6 reduced samples) while normalizing with
+        # the biased one — pinned against real tf_keras 2.21 by
+        # scripts/tf_train_parity_probe.py (bit-exact there).
+        n = 8 * 6 * 6
+        batch_var = np.asarray(x).var(axis=(0, 1, 2)) * n / (n - 1)
+        np.testing.assert_allclose(
+            np.asarray(new_state["batch_normalization/moving_variance"]),
+            0.99 * 1 + 0.01 * batch_var,
+            rtol=1e-4,
+        )
 
 
 class TestPooling:

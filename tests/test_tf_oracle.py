@@ -57,3 +57,27 @@ def test_forward_parity_vs_reference_tf(name):
     tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-15:])
     assert proc.returncode == 0, f"{name} oracle probe failed:\n{tail}"
     assert f"{name}: PASS" in proc.stdout, tail
+
+
+def test_training_step_parity_vs_tf():
+    """Loss value, every trainable gradient, and BN moving-stat updates
+    vs tf.GradientTape on a model covering all trained layer types
+    (scripts/tf_train_parity_probe.py).  Caught the Bessel-corrected
+    moving-variance update Keras applies (nn/layers.py::batch_norm)."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # probe forces CPU itself
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "tf_train_parity_probe.py"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+        cwd=REPO,
+    )
+    tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-25:])
+    assert proc.returncode == 0, f"train parity probe failed:\n{tail}"
+    assert "TRAIN PARITY: PASS" in proc.stdout, tail
