@@ -34,6 +34,7 @@ from building_detection_tpu.parallel import mesh as pmesh
 from building_detection_tpu.train import checkpoint as ckpt
 from building_detection_tpu.train.losses import LOSSES
 from building_detection_tpu.train.metrics import all_metrics
+from building_detection_tpu.train.optim import keras_adam
 from building_detection_tpu.train.schedule import warmup_cosine
 
 
@@ -118,8 +119,9 @@ class Trainer:
             warmup_steps=cfg.warmup_epochs * steps_per_epoch,
             min_learn_rate=cfg.min_lr,
         )
-        # Keras adam: beta1=0.9, beta2=0.999, epsilon=1e-7 (`res34.py:664`)
-        self.tx = optax.adam(self.schedule, eps=1e-7)
+        # Keras adam, bit-faithful update rule (`res34.py:664`; optax.adam
+        # places epsilon differently — see train/optim.py)
+        self.tx = keras_adam(self.schedule, eps=1e-7)
         self.opt_state = self.tx.init(self.params)
         self.step = 0
         self.history: list = []

@@ -250,6 +250,151 @@ def main() -> int:
     ):
         check(f"BN update {ours}", jax_state[ours], moving_after[theirs], 1e-6)
 
+    # ---- optimizer trajectory: 5 Adam steps, distinct batches ---------
+    # The trainer uses train/optim.py::keras_adam because optax.adam's
+    # epsilon placement differs from Keras'; this pins the multi-step
+    # weight trajectory against the real tf_keras Adam (the optimizer the
+    # reference compiles, `train_model/res34.py:663-666`), driven by the
+    # reference's per-batch warmup-cosine LR callback semantics
+    # (`res34.py:534-568`: on_batch_begin sets lr(global_step) with the
+    # 0-based PRE-increment step — the same indexing keras_adam uses for
+    # a callable schedule).
+    import tf_keras
+
+    n_steps = 5
+    lr_base, warmup_lr, warmup_steps_n = 1e-3, 1e-5, 2
+
+    def ref_lr(global_step):
+        # literal transcription of cosine_decay_with_warmup
+        # (`train_model/res34.py:512-531`), numpy f64 like the reference
+        if global_step >= warmup_steps_n:
+            lr = 0.5 * lr_base * (
+                1
+                + np.cos(
+                    np.pi
+                    * (global_step - warmup_steps_n)
+                    / float(n_steps - warmup_steps_n)
+                )
+            )
+            return max(lr, 0.0)
+        k = (lr_base - warmup_lr) / warmup_steps_n
+        return max(k * global_step + warmup_lr, 0.0)
+    batches = [
+        ((rng.rand(4, 32, 32, 3).astype(np.float32) * 2.0) - 1.0)
+        for _ in range(n_steps)
+    ]
+    targets = []
+    for _ in range(n_steps):
+        c = (rng.rand(4, 32, 32) < 0.4).astype(np.float32)
+        targets.append(
+            np.stack(
+                [
+                    1.0 - c,
+                    c,
+                    np.where(rng.rand(4, 32, 32) < 0.3, 2.0, 1.0),
+                    np.where(rng.rand(4, 32, 32) < 0.3, 2.0, 1.0),
+                ],
+                axis=-1,
+            ).astype(np.float32)
+        )
+
+    # TF side: restore the pre-step snapshot, then 5 optimizer steps
+    for v in model.variables:
+        v.assign(tfw[v.name])
+    opt = tf_keras.optimizers.Adam(learning_rate=1e-3, epsilon=1e-7)
+    for step_i, (xb_i, yt_i) in enumerate(zip(batches, targets)):
+        # K.set_value(model.optimizer.lr, …) on_batch_begin (`res34.py:558`)
+        opt.learning_rate.assign(np.float32(ref_lr(step_i)))
+        with tf.GradientTape() as tape:
+            pred = model(tf.constant(xb_i), training=True)
+            y = yt_i[..., :2]
+            edge = yt_i[..., 2:4]
+            l = cw * edge * y * (1.0 - pred) ** 2 * tf.math.log(pred + 1e-7)
+            l = -tf.reduce_mean(tf.reduce_sum(l, axis=-1))
+        g = tape.gradient(l, model.trainable_variables)
+        opt.apply_gradients(zip(g, model.trainable_variables))
+    tf_final = {v.name: v.numpy().copy() for v in model.variables}
+
+    # JAX side: same start, same batches, keras_adam + our schedule
+    import optax
+
+    from building_detection_tpu.train.optim import keras_adam
+    from building_detection_tpu.train.schedule import warmup_cosine
+
+    p_t = {k: jnp.asarray(v) for k, v in new_params.items()}
+    s_t = {k: jnp.asarray(v) for k, v in new_state.items()}
+    tx = keras_adam(
+        warmup_cosine(
+            lr_base,
+            n_steps,
+            warmup_learning_rate=warmup_lr,
+            warmup_steps=warmup_steps_n,
+        )
+    )
+    opt_state = tx.init(p_t)
+
+    @jax.jit
+    def train_step(p, s, o, xb_i, yt_i):
+        def lf(p):
+            pred, ns = M.apply(
+                jax_model, p, s, xb_i, train=True, rng=jax.random.key(1)
+            )
+            return edge_focal_loss(yt_i, pred), ns
+
+        grads, ns = jax.grad(lf, has_aux=True)(p)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), ns, o
+
+    for xb_i, yt_i in zip(batches, targets):
+        p_t, s_t, opt_state = train_step(
+            p_t, s_t, opt_state, jnp.asarray(xb_i), jnp.asarray(yt_i)
+        )
+
+    traj_map = dict(grad_map)
+    for ours, theirs in (
+        ("batch_normalization/moving_mean", "batch_normalization/moving_mean:0"),
+        (
+            "batch_normalization/moving_variance",
+            "batch_normalization/moving_variance:0",
+        ),
+        (
+            "batch_normalization_1/moving_mean",
+            "batch_normalization_1/moving_mean:0",
+        ),
+        (
+            "batch_normalization_1/moving_variance",
+            "batch_normalization_1/moving_variance:0",
+        ),
+    ):
+        traj_map[ours] = (theirs, None)
+    merged = dict(p_t)
+    merged.update(s_t)
+    for ours, (theirs, perm) in traj_map.items():
+        w_tf = tf_final[theirs]
+        if perm is not None:
+            w_tf = np.transpose(w_tf, perm)
+        scale = max(float(np.max(np.abs(w_tf))), 1e-12)
+        if ours == "separable_conv2d/bias":
+            # zero-gradient weight (bias consumed by BN): Adam divides
+            # ~1e-8 reduction noise by sqrt(v)+eps ~ 1e-7, amplifying it
+            # to near-lr-sized steps whose DIRECTION is float-noise on
+            # both sides — trajectories cannot match elementwise.  Bound
+            # the drift by n_steps*lr instead (both sides random-walk
+            # around the start; the weight is a mathematical no-op).
+            check(
+                f"adam x{n_steps} {ours} (zero-grad drift bound)",
+                np.asarray(merged[ours]),
+                w_tf,
+                atol=n_steps * 1e-3,
+            )
+            continue
+        check(
+            f"adam x{n_steps} {ours}",
+            np.asarray(merged[ours]),
+            w_tf,
+            atol=1e-5 * scale + 1e-6,
+        )
+
     if failures:
         print(f"TRAIN PARITY: FAIL ({len(failures)}): {failures}")
         return 1

@@ -101,6 +101,75 @@ class TestSchedule:
         assert float(sched(5)) == pytest.approx(1e-3 * 0.9**5, rel=1e-6)
 
 
+class TestKerasAdam:
+    def test_matches_keras_update_rule(self):
+        """train/optim.py::keras_adam vs a literal numpy transcription of
+        tf_keras Adam (lr_t = lr*sqrt(1-b2^t)/(1-b1^t), raw eps on sqrt(v)).
+        The full trajectory vs REAL tf_keras runs in
+        scripts/tf_train_parity_probe.py (suite: test_tf_oracle.py)."""
+        from building_detection_tpu.train.optim import keras_adam
+
+        b1, b2, eps, lr = 0.9, 0.999, 1e-7, 1e-3
+        rng = np.random.RandomState(7)
+        p = {"w": rng.randn(5, 3).astype(np.float32)}
+        tx = keras_adam(lr, b1=b1, b2=b2, eps=eps)
+        state = tx.init({k: jnp.asarray(v) for k, v in p.items()})
+
+        m = np.zeros_like(p["w"])
+        v = np.zeros_like(p["w"])
+        p_np = p["w"].copy()
+        p_jx = {"w": jnp.asarray(p["w"])}
+        for t in range(1, 6):
+            g = rng.randn(5, 3).astype(np.float32)
+            updates, state = tx.update({"w": jnp.asarray(g)}, state)
+            p_jx = {"w": p_jx["w"] + updates["w"]}
+            # numpy reference (f64 accumulation = tighter than both)
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            lr_t = lr * np.sqrt(1 - b2**t) / (1 - b1**t)
+            p_np = p_np - lr_t * m / (np.sqrt(v) + eps)
+            np.testing.assert_allclose(
+                np.asarray(p_jx["w"]), p_np, rtol=0, atol=2e-6
+            )
+
+    def test_epsilon_placement_differs_from_optax_adam(self):
+        """The whole reason optim.py exists: on a tiny-gradient step the
+        effective epsilon differs ~30x between the two forms (first step:
+        optax eps vs keras eps/sqrt(1-b2)), so the updates must diverge."""
+        import optax
+
+        from building_detection_tpu.train.optim import keras_adam
+
+        g = {"w": jnp.full((4,), 1e-6, jnp.float32)}
+        p = {"w": jnp.zeros((4,), jnp.float32)}
+        ka = keras_adam(1e-3)
+        oa = optax.adam(1e-3, eps=1e-7)
+        up_k, _ = ka.update(g, ka.init(p))
+        up_o, _ = oa.update(g, oa.init(p), p)
+        rel = float(
+            jnp.max(jnp.abs(up_k["w"] - up_o["w"]) / jnp.abs(up_k["w"]))
+        )
+        assert rel > 0.01, f"expected measurable divergence, got rel={rel}"
+
+    def test_callable_schedule_indexed_pre_increment(self):
+        """Keras' on_batch_begin sets lr(global_step) with the 0-based
+        PRE-increment step (res34.py:534-568); keras_adam must match."""
+        from building_detection_tpu.train.optim import keras_adam
+
+        seen = []
+
+        def sched(count):
+            seen.append(int(count))
+            return 1e-3
+
+        tx = keras_adam(sched)
+        p = {"w": jnp.ones((2,), jnp.float32)}
+        state = tx.init(p)
+        for _ in range(3):
+            _, state = tx.update({"w": jnp.ones((2,), jnp.float32)}, state)
+        assert seen == [0, 1, 2]
+
+
 class TestTargets:
     def test_matches_reference_recipe(self):
         """On-device y_true == the cv2 feeder recipe (res34.py:71-104)."""
