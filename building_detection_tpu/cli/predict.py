@@ -83,10 +83,9 @@ def main(argv=None) -> int:
         )
     weights = {}
     if args.weights_dir:
-        for name in ENSEMBLE_ORDER:
-            path = os.path.join(args.weights_dir, f"{name}.npz")
-            if os.path.exists(path):
-                weights[name] = path
+        from building_detection_tpu.infer.pipeline import discover_weights
+
+        weights = discover_weights(args.weights_dir)
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
 
     if args.image:

@@ -51,15 +51,13 @@ def main(argv=None) -> int:
     enable_compilation_cache()
     from building_detection_tpu.core.config import Config
     from building_detection_tpu.infer.pipeline import Pipeline
-    from building_detection_tpu.models.registry import ENSEMBLE_ORDER
     from building_detection_tpu.serve.server import serve
 
     weights = {}
     if args.weights_dir:
-        for name in ENSEMBLE_ORDER:
-            path = os.path.join(args.weights_dir, f"{name}.npz")
-            if os.path.exists(path):
-                weights[name] = path
+        from building_detection_tpu.infer.pipeline import discover_weights
+
+        weights = discover_weights(args.weights_dir)
     from building_detection_tpu.core.config import TilerConfig
 
     cfg = Config(tiler=TilerConfig(bucket_sizes=not args.no_bucket))

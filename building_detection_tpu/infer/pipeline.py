@@ -112,6 +112,32 @@ def load_int8_scales(path: str) -> Dict[str, Dict[str, float]]:
     }
 
 
+def discover_weights(weights_dir: str) -> Dict[str, str]:
+    """Find per-model checkpoints in a directory.
+
+    Accepts our ``{name}.npz`` checkpoints, ``{name}.h5``, and the reference
+    deployment's own filenames verbatim (`predict.py:17-54`: ``resnet34.h5``
+    for res34, ``deep.h5`` for v3plus, ``hrnet/scse/bam.h5``) so a reference
+    user can point ``--weights-dir`` at their existing weight folder and get
+    a drop-in run.  First match per model wins (npz preferred).
+    """
+    aliases = {
+        "res34": ("res34", "resnet34"),
+        "v3plus": ("v3plus", "deep"),
+    }
+    found: Dict[str, str] = {}
+    for name in ENSEMBLE_ORDER:
+        candidates = [f"{name}.npz"]
+        for stem in aliases.get(name, (name,)):
+            candidates += [f"{stem}.h5", f"{stem}.hdf5"]
+        for fname in candidates:
+            path = os.path.join(weights_dir, fname)
+            if os.path.exists(path):
+                found[name] = path
+                break
+    return found
+
+
 @dataclasses.dataclass
 class PredictResult:
     masks: Dict[str, np.ndarray]  # per-model {0,255} masks
@@ -146,6 +172,7 @@ class Pipeline:
         int8_pointwise: bool = False,
         int8_calibration: Optional[List[np.ndarray]] = None,
         int8_scales: Optional[Dict[str, Dict[str, float]]] = None,
+        max_scene_tiles: Optional[int] = 1024,
     ):
         """``fused=True`` traces the whole ensemble into one XLA program per
         scene shape (bit-identical to per-model execution, fewer dispatches,
@@ -164,8 +191,19 @@ class Pipeline:
         either ``int8_scales`` (from :func:`load_int8_scales`) or
         ``int8_calibration`` (representative RGB scenes, calibrated here
         at startup); without both, sites fall back to dynamic per-call
-        activation scales (numerically safe, measured slower)."""
+        activation scales (numerically safe, measured slower).
+
+        ``max_scene_tiles``: scenes whose tile grid exceeds this run through
+        the blocked path (`infer/large_scene.py`) — device memory O(block)
+        instead of O(scene), bit-identical output — with blocks sized to
+        ``batch_tiles`` so each block still fills a dispatch.  The default
+        (1024 tiles ~ an 11.8k x 11.8k scene) never triggers on normal
+        scenes; ``None`` disables auto-blocking.  Requires the default
+        ``fix_nonsquare_bug=True`` grid (big scenes raise in bug mode rather
+        than silently mis-tile)."""
         self.cfg = cfg
+        self.batch_tiles = batch_tiles
+        self.max_scene_tiles = max_scene_tiles
         weights = weights or {}
         members = {}
         for i, name in enumerate(models):
@@ -232,6 +270,26 @@ class Pipeline:
             )
         self.timer = StageTimer()
 
+    def _needs_blocking(self, image_rgb: np.ndarray) -> bool:
+        if self.max_scene_tiles is None:
+            return False
+        _, n_h = T._axis_tiles(image_rgb.shape[0], self.cfg.tiler)
+        _, n_w = T._axis_tiles(image_rgb.shape[1], self.cfg.tiler)
+        if not self.cfg.tiler.fix_nonsquare_bug:
+            n_w = n_h
+        return n_h * n_w > self.max_scene_tiles
+
+    def _predict_masks(self, image_rgb: np.ndarray) -> Dict[str, np.ndarray]:
+        if self._needs_blocking(image_rgb):
+            from building_detection_tpu.infer.large_scene import (
+                predict_masks_blocked,
+            )
+
+            return predict_masks_blocked(
+                self.ensemble, image_rgb, max_block_tiles=self.batch_tiles
+            )
+        return self.ensemble.predict_masks(image_rgb)
+
     def predict_image(self, image_rgb: np.ndarray) -> PredictResult:
         """RGB array in, polygons out; nothing touches the filesystem.
 
@@ -239,7 +297,7 @@ class Pipeline:
         (``pipe.timer.report()``).
         """
         with self.timer.stage("ensemble_forward"):
-            masks = self.ensemble.predict_masks(image_rgb)
+            masks = self._predict_masks(image_rgb)
         # The reference fuses masks in glob (alphabetical) order
         # (`model_fuse.py:278`); the vote is order-invariant, so any order
         # yields the same fused mask.
@@ -270,6 +328,19 @@ class Pipeline:
             return PredictResult(masks, fused, corners, height)
 
         results: List[Optional[PredictResult]] = [None] * len(images)
+        # over-budget scenes take the blocked path one at a time (each is
+        # internally pipelined over its blocks); the rest batch as usual
+        big = [i for i, img in enumerate(images) if self._needs_blocking(img)]
+        if big:
+            small_idx = [i for i in range(len(images)) if i not in set(big)]
+            small = self.predict_images([images[i] for i in small_idx])
+            for i, r in zip(small_idx, small):
+                results[i] = r
+            for i in big:
+                with self.timer.stage("ensemble_forward"):
+                    masks = self._predict_masks(images[i])
+                results[i] = post(masks)
+            return results
         if hasattr(self.ensemble, "predict_masks_iter"):
             with self.timer.stage("ensemble_forward"):
                 it = self.ensemble.predict_masks_iter(images)

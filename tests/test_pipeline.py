@@ -103,3 +103,32 @@ class TestPipeline:
         # seed 0 + key 99 params differ from Pipeline's seed-0 init for res34
         b = ref.predict_image(img).masks["res34"]
         assert a.shape == b.shape
+
+
+class TestDiscoverWeights:
+    def test_reference_filenames_and_npz_priority(self, tmp_path):
+        """The reference deployment's own filenames resolve
+        (`predict.py:17-54`: resnet34/deep/hrnet/scse/bam.h5), and our
+        .npz takes priority over an .h5 with the same model."""
+        from building_detection_tpu.infer.pipeline import discover_weights
+
+        for f in ["resnet34.h5", "deep.h5", "hrnet.h5", "scse.h5", "bam.h5"]:
+            (tmp_path / f).write_bytes(b"")
+        got = discover_weights(str(tmp_path))
+        assert got == {
+            "res34": str(tmp_path / "resnet34.h5"),
+            "v3plus": str(tmp_path / "deep.h5"),
+            "hrnet": str(tmp_path / "hrnet.h5"),
+            "scse": str(tmp_path / "scse.h5"),
+            "bam": str(tmp_path / "bam.h5"),
+        }
+        (tmp_path / "res34.npz").write_bytes(b"")
+        got = discover_weights(str(tmp_path))
+        assert got["res34"] == str(tmp_path / "res34.npz")
+
+    def test_our_names_and_missing_models(self, tmp_path):
+        from building_detection_tpu.infer.pipeline import discover_weights
+
+        (tmp_path / "v3plus.h5").write_bytes(b"")
+        got = discover_weights(str(tmp_path))
+        assert got == {"v3plus": str(tmp_path / "v3plus.h5")}
