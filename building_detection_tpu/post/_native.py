@@ -48,6 +48,29 @@ _lib.bd_find_contours.argtypes = [
 ]
 _lib.bd_free.restype = None
 _lib.bd_free.argtypes = [ctypes.c_void_p]
+_lib.bd_morph.restype = ctypes.c_int
+_lib.bd_morph.argtypes = [
+    ctypes.POINTER(ctypes.c_uint8),
+    ctypes.c_int,
+    ctypes.c_int,
+    ctypes.c_int,
+    ctypes.c_int,
+    ctypes.c_int,
+    ctypes.c_int,
+    ctypes.POINTER(ctypes.c_uint8),
+]
+_lib.bd_process_mask.restype = ctypes.c_int
+_lib.bd_process_mask.argtypes = [
+    ctypes.POINTER(ctypes.c_uint8),
+    ctypes.c_int,
+    ctypes.c_int,
+    ctypes.c_double,
+    ctypes.c_int,
+    ctypes.c_int,
+    ctypes.c_double,
+    ctypes.c_int,
+    ctypes.POINTER(ctypes.c_uint8),
+]
 
 
 def fill_holes(mask: np.ndarray) -> np.ndarray:
@@ -91,3 +114,58 @@ def find_contours(mask: np.ndarray) -> List[np.ndarray]:
         _lib.bd_free(ctypes.cast(off_p, ctypes.c_void_p))
     pts = flat.reshape(-1, 2)
     return [pts[offsets[i] : offsets[i + 1]] for i in range(n)]
+
+
+def _morph(img: np.ndarray, kernel, iterations: int, is_dilate: bool) -> np.ndarray:
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape
+    out = np.empty((h, w), np.uint8)
+    rc = _lib.bd_morph(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        int(kernel[0]),
+        int(kernel[1]),
+        int(iterations),
+        1 if is_dilate else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise RuntimeError("bd_morph failed")
+    return out
+
+
+def erode(img: np.ndarray, kernel, iterations: int = 1) -> np.ndarray:
+    return _morph(img, kernel, iterations, is_dilate=False)
+
+
+def dilate(img: np.ndarray, kernel, iterations: int = 1) -> np.ndarray:
+    return _morph(img, kernel, iterations, is_dilate=True)
+
+
+def process_mask(
+    mask: np.ndarray,
+    min_area: float,
+    split_kernel: int,
+    split_iterations: int,
+    fragment_min_area: float,
+    do_split: bool = True,
+) -> np.ndarray:
+    """Fusion per-mask morphology; {0,255} out (see bd_process_mask)."""
+    mask = np.ascontiguousarray(mask, np.uint8)
+    h, w = mask.shape
+    out = np.empty((h, w), np.uint8)
+    rc = _lib.bd_process_mask(
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        float(min_area),
+        int(split_kernel),
+        int(split_iterations),
+        float(fragment_min_area),
+        1 if do_split else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise RuntimeError("bd_process_mask failed")
+    return out

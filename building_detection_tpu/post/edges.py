@@ -166,15 +166,27 @@ def extract_polygons(
 ) -> Tuple[List[List[list]], int]:
     """``_detection``: fused mask -> list of closed corner rings + height."""
     # step 1: fill holes, drop area <= 100 (`edge_3.py:323-329`)
-    kept = [
-        (c, r)
-        for c, r in zip(G.find_contours(mask), G.components_filled(mask))
-        if G.contour_area(c) > cfg.min_area
-    ]
-    cleaned = np.zeros(mask.shape[:2], np.uint8)
-    for _, r in kept:
-        np.maximum(cleaned, r, out=cleaned)
-    cleaned *= np.uint8(255)
+    if G._nat is not None and hasattr(G._nat, "process_mask"):
+        # native clean-only pass (split disabled): hole-filled components
+        # with traced-polygon area > min_area, {0,255}
+        cleaned = G._nat.process_mask(
+            np.ascontiguousarray((np.asarray(mask) != 0).astype(np.uint8)),
+            cfg.min_area,
+            1,
+            1,
+            0.0,
+            do_split=False,
+        )
+    else:
+        kept = [
+            (c, r)
+            for c, r in zip(G.find_contours(mask), G.components_filled(mask))
+            if G.contour_area(c) > cfg.min_area
+        ]
+        cleaned = np.zeros(mask.shape[:2], np.uint8)
+        for _, r in kept:
+            np.maximum(cleaned, r, out=cleaned)
+        cleaned *= np.uint8(255)
 
     contours = detect_overlaps(cleaned, cfg)
 

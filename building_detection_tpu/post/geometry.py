@@ -777,6 +777,10 @@ def components_filled(mask: np.ndarray) -> List[np.ndarray]:
 
 def erode_np(mask: np.ndarray, kernel: Tuple[int, int], iterations: int = 1) -> np.ndarray:
     """Host-side ``cv2.erode`` (flat kernel, default border = max)."""
+    if _nat is not None and hasattr(_nat, "erode") and (
+        getattr(mask, "dtype", None) == np.uint8 and mask.ndim == 2
+    ):
+        return _nat.erode(mask, kernel, iterations)
     kh, kw = kernel
     size = (iterations * (kh - 1) + 1, iterations * (kw - 1) + 1)
     return ndimage.minimum_filter(mask, size=size, mode="constant", cval=255)
@@ -784,6 +788,10 @@ def erode_np(mask: np.ndarray, kernel: Tuple[int, int], iterations: int = 1) -> 
 
 def dilate_np(mask: np.ndarray, kernel: Tuple[int, int], iterations: int = 1) -> np.ndarray:
     """Host-side ``cv2.dilate`` (flat kernel, default border = 0)."""
+    if _nat is not None and hasattr(_nat, "dilate") and (
+        getattr(mask, "dtype", None) == np.uint8 and mask.ndim == 2
+    ):
+        return _nat.dilate(mask, kernel, iterations)
     kh, kw = kernel
     size = (iterations * (kh - 1) + 1, iterations * (kw - 1) + 1)
     return ndimage.maximum_filter(mask, size=size, mode="constant", cval=0)

@@ -2,20 +2,27 @@
 //
 // The reference delegates this work to OpenCV's C++ (findContours et al.,
 // /root/reference/model_fuse.py, /root/reference/edge_3.py).  This library
-// implements the two hot primitives the framework's post-processing layer
-// calls per mask — everything else (areas, polygon simplification) runs on
-// the traced contours, which are tiny:
+// implements the hot primitives the framework's post-processing layer calls
+// per mask — polygon simplification and the like run on the traced contours
+// in Python, which are tiny:
 //
 //   bd_fill_holes     flood-fill background from the border (4-connected),
 //                     invert: component pixels + interior holes
 //   bd_find_contours  external contours of all top-level 8-connected
 //                     components, Suzuki-Abe border following, point
 //                     sequences identical to cv2's CHAIN_APPROX_NONE
+//   bd_morph          uint8 erode/dilate with a flat rectangular kernel,
+//                     cv2 border semantics (erode border=255, dilate=0)
+//   bd_process_mask   the ensemble-fusion per-mask morphology
+//                     (model_fuse.py fill_and_delete + eroede_dilate_process
+//                     semantics) — per-component erode-split computed on
+//                     bbox-cropped windows instead of full-size canvases
 //
 // C ABI only; loaded from Python with ctypes (building_detection_tpu/post/
-// _native.py).  Semantics are pinned by tests/test_geometry.py, which
-// compares against both the NumPy fallback and cv2.
+// _native.py).  Semantics are pinned by tests/test_geometry.py and
+// tests/test_fusion.py, which compare against the NumPy fallback and cv2.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -56,6 +63,8 @@ int bd_fill_holes(const uint8_t* mask, int h, int w, uint8_t* out) {
   return 0;
 }
 
+}  // extern "C"
+
 namespace {
 
 // Moore neighbourhood, clockwise from west: W NW N NE E SE S SW
@@ -69,8 +78,8 @@ inline int dir_of(int dy, int dx) {
 }
 
 // Suzuki-Abe outer border following; fills (x, y) pairs into pts.
-void trace_border(const uint8_t* filled, const int32_t* labels, int lbl,
-                  int h, int w, int si, int sj, std::vector<int32_t>* pts) {
+void trace_border(const int32_t* labels, int lbl, int h, int w, int si,
+                  int sj, std::vector<int32_t>* pts) {
   auto pixel = [&](int y, int x) -> bool {
     return y >= 0 && y < h && x >= 0 && x < w && labels[y * w + x] == lbl;
   };
@@ -103,7 +112,68 @@ void trace_border(const uint8_t* filled, const int32_t* labels, int lbl,
   }
 }
 
+struct Component {
+  int start;                // index of first (topmost, then leftmost) pixel
+  int y0, x0, y1, x1;       // inclusive bbox
+};
+
+// 8-connected labeling of a binary image, raster order of discovery (the
+// same order the NumPy fallback's scipy labeling produces).  labels must be
+// zeroed by the caller; returns the component count.
+int label8(const uint8_t* filled, int h, int w, int32_t* labels,
+           std::vector<Component>* comps) {
+  const int n = h * w;
+  std::vector<int> stack;
+  int next_label = 0;
+  for (int i = 0; i < n; ++i) {
+    if (!filled[i] || labels[i]) continue;
+    ++next_label;
+    Component c;
+    c.start = i;
+    c.y0 = c.y1 = i / w;
+    c.x0 = c.x1 = i % w;
+    labels[i] = next_label;
+    stack.push_back(i);
+    while (!stack.empty()) {
+      const int idx = stack.back();
+      stack.pop_back();
+      const int y = idx / w, x = idx % w;
+      if (y < c.y0) c.y0 = y;
+      if (y > c.y1) c.y1 = y;
+      if (x < c.x0) c.x0 = x;
+      if (x > c.x1) c.x1 = x;
+      for (int k = 0; k < 8; ++k) {
+        const int ny = y + kDy[k], nx = x + kDx[k];
+        if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
+        const int nidx = ny * w + nx;
+        if (filled[nidx] && !labels[nidx]) {
+          labels[nidx] = next_label;
+          stack.push_back(nidx);
+        }
+      }
+    }
+    comps->push_back(c);
+  }
+  return next_label;
+}
+
+// cv2.contourArea: |Green's formula| / 2 over the traced point polygon.
+// Exact in double for pixel-grid coordinates, so threshold comparisons can
+// never diverge from the NumPy fallback.
+double polygon_area(const std::vector<int32_t>& pts) {
+  const size_t n = pts.size() / 2;
+  double s = 0.0;
+  for (size_t i = 0; i < n; ++i) {
+    const size_t j = (i + 1) % n;
+    s += static_cast<double>(pts[2 * i]) * pts[2 * j + 1] -
+         static_cast<double>(pts[2 * j]) * pts[2 * i + 1];
+  }
+  return std::abs(s) / 2.0;
+}
+
 }  // namespace
+
+extern "C" {
 
 // External contours of top-level 8-connected components.
 //
@@ -120,42 +190,17 @@ int bd_find_contours(const uint8_t* mask, int h, int w,
   std::vector<uint8_t> filled(n);
   if (bd_fill_holes(mask, h, w, filled.data()) != 0) return -1;
 
-  // 8-connected labeling of the filled mask, raster order of discovery (the
-  // same order the NumPy fallback's scipy labeling produces).
   std::vector<int32_t> labels(n, 0);
-  std::vector<int> stack;
-  int next_label = 0;
-  std::vector<int> starts;  // index of first (topmost-left) pixel per label
-  for (int i = 0; i < n; ++i) {
-    if (!filled[i] || labels[i]) continue;
-    ++next_label;
-    starts.push_back(i);
-    labels[i] = next_label;
-    stack.push_back(i);
-    while (!stack.empty()) {
-      const int idx = stack.back();
-      stack.pop_back();
-      const int y = idx / w, x = idx % w;
-      for (int k = 0; k < 8; ++k) {
-        const int ny = y + kDy[k], nx = x + kDx[k];
-        if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
-        const int nidx = ny * w + nx;
-        if (filled[nidx] && !labels[nidx]) {
-          labels[nidx] = next_label;
-          stack.push_back(nidx);
-        }
-      }
-    }
-  }
+  std::vector<Component> comps;
+  const int count = label8(filled.data(), h, w, labels.data(), &comps);
 
   std::vector<int32_t> points;
   std::vector<int32_t> offsets;
-  offsets.reserve(next_label + 1);
-  for (int lbl = 1; lbl <= next_label; ++lbl) {
+  offsets.reserve(count + 1);
+  for (int lbl = 1; lbl <= count; ++lbl) {
     offsets.push_back(static_cast<int32_t>(points.size() / 2));
-    const int start = starts[lbl - 1];
-    trace_border(filled.data(), labels.data(), lbl, h, w,
-                 start / w, start % w, &points);
+    const int start = comps[lbl - 1].start;
+    trace_border(labels.data(), lbl, h, w, start / w, start % w, &points);
   }
   offsets.push_back(static_cast<int32_t>(points.size() / 2));
 
@@ -166,7 +211,276 @@ int bd_find_contours(const uint8_t* mask, int h, int w,
   if (!points.empty())
     memcpy(*out_points, points.data(), points.size() * sizeof(int32_t));
   memcpy(*out_offsets, offsets.data(), offsets.size() * sizeof(int32_t));
-  return next_label;
+  return count;
+}
+
+// uint8 erode/dilate with a flat (kh, kw) kernel iterated `iters` times —
+// equivalent to one pass with window (iters*(kh-1)+1, iters*(kw-1)+1), like
+// cv2/scipy (flat rectangular kernels compose).  Border samples outside the
+// image read 255 for erode and 0 for dilate (cv2's default border).
+// Separable: one horizontal pass, one vertical pass.
+int bd_morph(const uint8_t* img, int h, int w, int kh, int kw, int iters,
+             int is_dilate, uint8_t* out) {
+  if (h <= 0 || w <= 0 || kh <= 0 || kw <= 0 || iters <= 0) return -1;
+  const int wh = iters * (kh - 1) + 1;
+  const int ww = iters * (kw - 1) + 1;
+  // scipy origin-0 footprint: offsets [-(s/2), s-1-s/2]
+  const int xlo = -(ww / 2), xhi = ww - 1 - ww / 2;
+  const int ylo = -(wh / 2), yhi = wh - 1 - wh / 2;
+  const uint8_t border = is_dilate ? 0 : 255;
+  std::vector<uint8_t> tmp(static_cast<size_t>(h) * w);
+  // horizontal pass
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = img + static_cast<size_t>(y) * w;
+    uint8_t* trow = tmp.data() + static_cast<size_t>(y) * w;
+    for (int x = 0; x < w; ++x) {
+      uint8_t v = border;
+      if (is_dilate) {
+        for (int d = xlo; d <= xhi; ++d) {
+          const int xx = x + d;
+          const uint8_t s = (xx < 0 || xx >= w) ? border : row[xx];
+          if (s > v) v = s;
+        }
+      } else {
+        for (int d = xlo; d <= xhi; ++d) {
+          const int xx = x + d;
+          const uint8_t s = (xx < 0 || xx >= w) ? border : row[xx];
+          if (s < v) v = s;
+        }
+      }
+      trow[x] = v;
+    }
+  }
+  // vertical pass
+  for (int y = 0; y < h; ++y) {
+    uint8_t* orow = out + static_cast<size_t>(y) * w;
+    for (int x = 0; x < w; ++x) {
+      uint8_t v = border;
+      if (is_dilate) {
+        for (int d = ylo; d <= yhi; ++d) {
+          const int yy = y + d;
+          const uint8_t s =
+              (yy < 0 || yy >= h) ? border : tmp[static_cast<size_t>(yy) * w + x];
+          if (s > v) v = s;
+        }
+      } else {
+        for (int d = ylo; d <= yhi; ++d) {
+          const int yy = y + d;
+          const uint8_t s =
+              (yy < 0 || yy >= h) ? border : tmp[static_cast<size_t>(yy) * w + x];
+          if (s < v) v = s;
+        }
+      }
+      orow[x] = v;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+namespace {
+
+// One axis-aligned erosion over a crop window placed at (cy0, cx0) in an
+// (H, W) image.  Samples outside the crop read 1 (foreground) when they are
+// outside the IMAGE (cv2 erode border) and 0 when they are inside the image
+// — in the full-size computation those pixels are genuine background, since
+// the crop covers the component's bbox plus the kernel radius.
+void erode_axis_crop(const uint8_t* in, int ch, int cw, bool axis_x, int lo,
+                     int hi, int cy0, int cx0, int H, int W, uint8_t* out) {
+  for (int y = 0; y < ch; ++y) {
+    for (int x = 0; x < cw; ++x) {
+      uint8_t v = 1;
+      if (axis_x) {
+        for (int d = lo; d <= hi && v; ++d) {
+          const int xx = x + d;
+          if (xx < 0 || xx >= cw) {
+            const int gx = cx0 + xx;
+            v = (gx < 0 || gx >= W) ? 1 : 0;
+          } else {
+            v = in[y * cw + xx];
+          }
+        }
+      } else {
+        for (int d = lo; d <= hi && v; ++d) {
+          const int yy = y + d;
+          if (yy < 0 || yy >= ch) {
+            const int gy = cy0 + yy;
+            v = (gy < 0 || gy >= H) ? 1 : 0;
+          } else {
+            v = in[yy * cw + x];
+          }
+        }
+      }
+      out[y * cw + x] = v;
+    }
+  }
+}
+
+// Axis-aligned dilation of (plabels == lbl) over a crop, OR'd into acc.
+// Samples outside the crop read 0 (cv2 dilate border; pixels beyond the
+// crop are background in the full-size computation, and the dilated result
+// provably stays inside the crop — erode-by-r then dilate-by-r along the
+// same axis cannot escape the component's bbox).
+void dilate_axis_crop_or(const int32_t* plabels, int lbl, int ch, int cw,
+                         bool axis_x, int lo, int hi, uint8_t* acc) {
+  for (int y = 0; y < ch; ++y) {
+    for (int x = 0; x < cw; ++x) {
+      if (acc[y * cw + x]) continue;
+      uint8_t v = 0;
+      if (axis_x) {
+        for (int d = lo; d <= hi && !v; ++d) {
+          const int xx = x + d;
+          if (xx >= 0 && xx < cw && plabels[y * cw + xx] == lbl) v = 1;
+        }
+      } else {
+        for (int d = lo; d <= hi && !v; ++d) {
+          const int yy = y + d;
+          if (yy >= 0 && yy < ch && plabels[yy * cw + x] == lbl) v = 1;
+        }
+      }
+      acc[y * cw + x] = v;
+    }
+  }
+}
+
+// Tri-state result of one erode-split pass (`erode_process`,
+// model_fuse.py:65-117): NONE = no split (single piece), FALSE = everything
+// eroded away below the fragment threshold, LIST = OR of the re-dilated
+// kept pieces (possibly empty, when erosion left nothing at all).
+enum SplitState { kSplitNone, kSplitFalse, kSplitList };
+
+SplitState erode_split_crop(const uint8_t* comp, int ch, int cw, bool axis_x,
+                            int lo, int hi, int cy0, int cx0, int H, int W,
+                            double frag_area, std::vector<uint8_t>* scratch_a,
+                            std::vector<uint8_t>* scratch_b,
+                            std::vector<int32_t>* scratch_l,
+                            std::vector<uint8_t>* acc) {
+  const size_t cn = static_cast<size_t>(ch) * cw;
+  scratch_a->assign(cn, 0);
+  erode_axis_crop(comp, ch, cw, axis_x, lo, hi, cy0, cx0, H, W,
+                  scratch_a->data());
+  // pieces = regions(eroded): hole-filled 8-connected components
+  scratch_b->assign(cn, 0);
+  bd_fill_holes(scratch_a->data(), ch, cw, scratch_b->data());
+  scratch_l->assign(cn, 0);
+  std::vector<Component> pieces;
+  const int count =
+      label8(scratch_b->data(), ch, cw, scratch_l->data(), &pieces);
+  if (count == 1) return kSplitNone;
+  std::vector<int> kept;
+  std::vector<int32_t> pts;
+  for (int lbl = 1; lbl <= count; ++lbl) {
+    pts.clear();
+    const int start = pieces[lbl - 1].start;
+    trace_border(scratch_l->data(), lbl, ch, cw, start / cw, start % cw,
+                 &pts);
+    if (polygon_area(pts) > frag_area) kept.push_back(lbl);
+  }
+  if (kept.empty() && count > 0) return kSplitFalse;
+  acc->assign(cn, 0);
+  for (const int lbl : kept) {
+    dilate_axis_crop_or(scratch_l->data(), lbl, ch, cw, axis_x, lo, hi,
+                        acc->data());
+  }
+  return kSplitList;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Ensemble-fusion per-mask morphology (`fill_and_delete` +
+// `eroede_dilate_process`, model_fuse.py:9-32,173-218):
+//
+//   1. hole-fill and keep top-level components with traced-polygon area
+//      > min_area;
+//   2. when do_split: per component, erode with (1, split_k) and
+//      (split_k, 1) kernels x split_iters to split horizontally/vertically
+//      touching buildings, drop re-traced fragments with area <= frag_area,
+//      dilate the kept pieces back, and combine per the reference's
+//      tri-state logic (either pass False -> drop the component; both None
+//      -> keep it whole; else the union of the split pieces).
+//
+// All per-component work runs on a bbox + kernel-radius crop — the NumPy
+// fallback (building_detection_tpu/post/fusion.py) computes the identical
+// result on full-size canvases.  out: h*w bytes, {0, 255}.
+int bd_process_mask(const uint8_t* mask, int h, int w, double min_area,
+                    int split_k, int split_iters, double frag_area,
+                    int do_split, uint8_t* out) {
+  if (h <= 0 || w <= 0) return -1;
+  if (do_split && (split_k < 1 || split_iters < 1)) return -1;
+  const int n = h * w;
+  std::vector<uint8_t> filled(n);
+  if (bd_fill_holes(mask, h, w, filled.data()) != 0) return -1;
+  std::vector<int32_t> labels(n, 0);
+  std::vector<Component> comps;
+  const int count = label8(filled.data(), h, w, labels.data(), &comps);
+  memset(out, 0, n);
+
+  // window = split_iters*(split_k-1)+1; scipy origin-0 offsets
+  const int win = do_split ? split_iters * (split_k - 1) + 1 : 1;
+  const int lo = -(win / 2), hi = win - 1 - win / 2;
+  const int pad = win;  // >= max(|lo|, hi); crop margin on every side
+
+  std::vector<int32_t> pts;
+  std::vector<uint8_t> comp_buf, sa, sb, acc_h, acc_v;
+  std::vector<int32_t> sl;
+
+  for (int lbl = 1; lbl <= count; ++lbl) {
+    pts.clear();
+    const Component& c = comps[lbl - 1];
+    trace_border(labels.data(), lbl, h, w, c.start / w, c.start % w, &pts);
+    if (!(polygon_area(pts) > min_area)) continue;
+
+    const int cy0 = c.y0 - pad < 0 ? 0 : c.y0 - pad;
+    const int cx0 = c.x0 - pad < 0 ? 0 : c.x0 - pad;
+    const int cy1 = c.y1 + pad >= h ? h - 1 : c.y1 + pad;
+    const int cx1 = c.x1 + pad >= w ? w - 1 : c.x1 + pad;
+    const int ch = cy1 - cy0 + 1, cw = cx1 - cx0 + 1;
+    const size_t cn = static_cast<size_t>(ch) * cw;
+
+    if (!do_split) {
+      for (int y = c.y0; y <= c.y1; ++y) {
+        const int32_t* lrow = labels.data() + static_cast<size_t>(y) * w;
+        uint8_t* orow = out + static_cast<size_t>(y) * w;
+        for (int x = c.x0; x <= c.x1; ++x)
+          if (lrow[x] == lbl) orow[x] = 255;
+      }
+      continue;
+    }
+
+    comp_buf.assign(cn, 0);
+    for (int y = 0; y < ch; ++y) {
+      const int32_t* lrow = labels.data() + static_cast<size_t>(cy0 + y) * w;
+      for (int x = 0; x < cw; ++x)
+        if (lrow[cx0 + x] == lbl) comp_buf[y * cw + x] = 1;
+    }
+
+    const SplitState sh =
+        erode_split_crop(comp_buf.data(), ch, cw, /*axis_x=*/true, lo, hi,
+                         cy0, cx0, h, w, frag_area, &sa, &sb, &sl, &acc_h);
+    const SplitState sv =
+        erode_split_crop(comp_buf.data(), ch, cw, /*axis_x=*/false, lo, hi,
+                         cy0, cx0, h, w, frag_area, &sa, &sb, &sl, &acc_v);
+    if (sh == kSplitFalse || sv == kSplitFalse) continue;
+
+    const uint8_t* src_h = (sh == kSplitList) ? acc_h.data() : nullptr;
+    const uint8_t* src_v = (sv == kSplitList) ? acc_v.data() : nullptr;
+    for (int y = 0; y < ch; ++y) {
+      uint8_t* orow = out + static_cast<size_t>(cy0 + y) * w + cx0;
+      const size_t off = static_cast<size_t>(y) * cw;
+      if (!src_h && !src_v) {
+        for (int x = 0; x < cw; ++x)
+          if (comp_buf[off + x]) orow[x] = 255;
+      } else {
+        for (int x = 0; x < cw; ++x)
+          if ((src_h && src_h[off + x]) || (src_v && src_v[off + x]))
+            orow[x] = 255;
+      }
+    }
+  }
+  return 0;
 }
 
 void bd_free(void* p) { free(p); }

@@ -99,3 +99,59 @@ class TestRingOrder:
         # and the order is NOT raster order: cv2 enumerates bottom-up
         first_ys = [min(r[1][:-1]) for r in ours]
         assert first_ys == sorted(first_ys, reverse=True)
+
+
+class TestNativeFusion:
+    """C++ bd_process_mask / bd_morph vs the pure NumPy implementations,
+    bit-for-bit (the native path computes per-component crops; the Python
+    path full-size canvases — same algorithm, model_fuse.py:9-218)."""
+
+    def _require_native(self):
+        from building_detection_tpu.post import geometry as G
+        if G._nat is None or not hasattr(G._nat, "process_mask"):
+            pytest.skip("native library unavailable")
+        return G
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_process_mask_native_eq_python(self, seed):
+        self._require_native()
+        m = building_mask(seed, shape=(160, 130), n=8)
+        np.testing.assert_array_equal(F.process_mask(m), F._process_mask_py(m))
+
+    def test_dense_and_border_touching(self):
+        self._require_native()
+        rng = np.random.RandomState(7)
+        m = (rng.rand(96, 96) < 0.55).astype(np.uint8) * 255
+        m[:12, :] = 255
+        m[:, -9:] = 255
+        np.testing.assert_array_equal(F.process_mask(m), F._process_mask_py(m))
+
+    def test_morph_native_eq_scipy(self):
+        G = self._require_native()
+        from scipy import ndimage
+        rng = np.random.RandomState(3)
+        m = (rng.rand(70, 90) < 0.5).astype(np.uint8) * 255
+        for kern in [(1, 5), (5, 1), (1, 7), (7, 1), (3, 3)]:
+            for it in (1, 5):
+                size = (it * (kern[0] - 1) + 1, it * (kern[1] - 1) + 1)
+                np.testing.assert_array_equal(
+                    G.erode_np(m, kern, it),
+                    ndimage.minimum_filter(m, size=size, mode="constant", cval=255),
+                )
+                np.testing.assert_array_equal(
+                    G.dilate_np(m, kern, it),
+                    ndimage.maximum_filter(m, size=size, mode="constant", cval=0),
+                )
+
+    def test_extract_polygons_native_eq_fallback(self, monkeypatch):
+        from building_detection_tpu.post import geometry as G
+        self._require_native()
+        m = building_mask(11, shape=(140, 150), n=7)
+        fused = F.fuse_masks([building_mask(11 + i, shape=(140, 150)) for i in range(5)])
+        native = E.extract_polygons(fused)
+        monkeypatch.setattr(G, "_nat", None)
+        fallback = E.extract_polygons(fused)
+        assert native[1] == fallback[1]
+        assert len(native[0]) == len(fallback[0])
+        for (ax, ay), (bx, by) in zip(native[0], fallback[0]):
+            assert list(ax) == list(bx) and list(ay) == list(by)
