@@ -314,10 +314,13 @@ class Pipeline:
         (``predict_masks_iter`` keeps a window of dispatched groups ahead of
         the fetch point).
 
-        Post-processing stays SEQUENTIAL by design: fusion is many small
-        numpy ops that hold the GIL, and fanning it out to a thread pool was
-        measured 4-7x SLOWER per call under contention (GIL convoying;
-        BASELINE.md round-2 serving notes)."""
+        Post-processing stays SEQUENTIAL by design.  Round 2 measured a
+        thread pool 4-7x SLOWER per call (the NumPy fusion path convoyed on
+        the GIL); round 3 moved the fusion morphology into the native C++
+        library (300x+ on dense scenes, GIL released during the call) and
+        re-measured a pool at 0.96x on this single-hardware-thread box —
+        sequential post, overlapped with the remaining groups' device
+        compute, remains the measured optimum (BASELINE.md)."""
         def post(masks) -> PredictResult:
             with self.timer.stage("fusion"):
                 fused = F.fuse_masks(

@@ -31,6 +31,11 @@
 extern "C" {
 
 // out must be h*w bytes.  Writes 0/1.
+//
+// Scanline flood fill of the border-connected (4-connected) background:
+// each popped seed expands to a full horizontal background run, then seeds
+// the rows above/below once per run — O(n) with run-sized steps instead of
+// per-pixel stack traffic.
 int bd_fill_holes(const uint8_t* mask, int h, int w, uint8_t* out) {
   if (h <= 0 || w <= 0) return -1;
   const int n = h * w;
@@ -39,25 +44,44 @@ int bd_fill_holes(const uint8_t* mask, int h, int w, uint8_t* out) {
   for (int i = 0; i < n; ++i) state[i] = mask[i] ? 1 : 0;
 
   std::vector<int> stack;
-  stack.reserve(2 * (h + w));
-  auto push = [&](int y, int x) {
-    const int idx = y * w + x;
+  stack.reserve(h + w);
+  auto seed = [&](int idx) {
     if (state[idx] == 0) {
       state[idx] = 2;
       stack.push_back(idx);
     }
   };
-  for (int x = 0; x < w; ++x) { push(0, x); push(h - 1, x); }
-  for (int y = 0; y < h; ++y) { push(y, 0); push(y, w - 1); }
+  for (int x = 0; x < w; ++x) { seed(x); seed((h - 1) * w + x); }
+  for (int y = 0; y < h; ++y) { seed(y * w); seed(y * w + w - 1); }
 
   while (!stack.empty()) {
     const int idx = stack.back();
     stack.pop_back();
     const int y = idx / w, x = idx % w;
-    if (y > 0) push(y - 1, x);
-    if (y < h - 1) push(y + 1, x);
-    if (x > 0) push(y, x - 1);
-    if (x < w - 1) push(y, x + 1);
+    const int row = y * w;
+    // expand to the full run [xl, xr] on this row (seed pixel already 2)
+    int xl = x, xr = x;
+    while (xl > 0 && state[row + xl - 1] == 0) { --xl; state[row + xl] = 2; }
+    while (xr + 1 < w && state[row + xr + 1] == 0) {
+      ++xr;
+      state[row + xr] = 2;
+    }
+    // seed one pixel per background run in the adjacent rows
+    for (int dy = -1; dy <= 1; dy += 2) {
+      const int yy = y + dy;
+      if (yy < 0 || yy >= h) continue;
+      const int arow = yy * w;
+      int xx = xl;
+      while (xx <= xr) {
+        if (state[arow + xx] == 0) {
+          state[arow + xx] = 2;
+          stack.push_back(arow + xx);
+          // skip the rest of this run; the popped seed will expand it
+          while (xx + 1 <= xr && state[arow + xx + 1] == 0) ++xx;
+        }
+        ++xx;
+      }
+    }
   }
   for (int i = 0; i < n; ++i) out[i] = (state[i] == 2) ? 0 : 1;
   return 0;
@@ -71,11 +95,11 @@ namespace {
 const int kDy[8] = {0, -1, -1, -1, 0, 1, 1, 1};
 const int kDx[8] = {-1, -1, 0, 1, 1, 1, 0, -1};
 
-inline int dir_of(int dy, int dx) {
-  for (int k = 0; k < 8; ++k)
-    if (kDy[k] == dy && kDx[k] == dx) return k;
-  return 0;  // unreachable for valid neighbours
-}
+// dir_of(dy, dx) == index k with (kDy[k], kDx[k]) == (dy, dx), as a lookup
+// table over (dy+1, dx+1)
+const int kDirLut[3][3] = {{1, 2, 3}, {0, 0, 4}, {7, 6, 5}};
+
+inline int dir_of(int dy, int dx) { return kDirLut[dy + 1][dx + 1]; }
 
 // Suzuki-Abe outer border following; fills (x, y) pairs into pts.
 void trace_border(const int32_t* labels, int lbl, int h, int w, int si,
@@ -119,7 +143,9 @@ struct Component {
 
 // 8-connected labeling of a binary image, raster order of discovery (the
 // same order the NumPy fallback's scipy labeling produces).  labels must be
-// zeroed by the caller; returns the component count.
+// zeroed by the caller; returns the component count.  Scanline flood fill:
+// seeds expand to full horizontal runs, adjacent rows are scanned once per
+// run over [xl-1, xr+1] (8-connectivity).
 int label8(const uint8_t* filled, int h, int w, int32_t* labels,
            std::vector<Component>* comps) {
   const int n = h * w;
@@ -138,17 +164,35 @@ int label8(const uint8_t* filled, int h, int w, int32_t* labels,
       const int idx = stack.back();
       stack.pop_back();
       const int y = idx / w, x = idx % w;
+      const int row = y * w;
+      int xl = x, xr = x;
+      while (xl > 0 && filled[row + xl - 1] && !labels[row + xl - 1]) {
+        --xl;
+        labels[row + xl] = next_label;
+      }
+      while (xr + 1 < w && filled[row + xr + 1] && !labels[row + xr + 1]) {
+        ++xr;
+        labels[row + xr] = next_label;
+      }
       if (y < c.y0) c.y0 = y;
       if (y > c.y1) c.y1 = y;
-      if (x < c.x0) c.x0 = x;
-      if (x > c.x1) c.x1 = x;
-      for (int k = 0; k < 8; ++k) {
-        const int ny = y + kDy[k], nx = x + kDx[k];
-        if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
-        const int nidx = ny * w + nx;
-        if (filled[nidx] && !labels[nidx]) {
-          labels[nidx] = next_label;
-          stack.push_back(nidx);
+      if (xl < c.x0) c.x0 = xl;
+      if (xr > c.x1) c.x1 = xr;
+      for (int dy = -1; dy <= 1; dy += 2) {
+        const int yy = y + dy;
+        if (yy < 0 || yy >= h) continue;
+        const int arow = yy * w;
+        int xx = xl - 1 < 0 ? 0 : xl - 1;
+        const int xend = xr + 1 >= w ? w - 1 : xr + 1;
+        while (xx <= xend) {
+          if (filled[arow + xx] && !labels[arow + xx]) {
+            labels[arow + xx] = next_label;
+            stack.push_back(arow + xx);
+            while (xx + 1 <= xend && filled[arow + xx + 1] &&
+                   !labels[arow + xx + 1])
+              ++xx;
+          }
+          ++xx;
         }
       }
     }
