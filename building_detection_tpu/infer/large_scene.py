@@ -107,27 +107,37 @@ def predict_mask_blocked(
     predictor,
     image_rgb: np.ndarray,
     max_block_tiles: int = 128,
+    max_in_flight: int = 8,
 ) -> np.ndarray:
     """Single-model blocked prediction via ``TiledPredictor``.
 
-    Dispatches every block (async device queue), then fetches and OR-stitches
-    in order — later blocks' uploads overlap earlier blocks' compute.
+    Keeps at most ``max_in_flight`` blocks dispatched at once (so device
+    memory stays O(max_in_flight * block), which is the whole point of this
+    module) while still overlapping later blocks' uploads with earlier
+    blocks' compute; fetches and OR-stitches in dispatch order.
     """
     h, w = image_rgb.shape[:2]
     blocks = plan_blocks(h, w, predictor.cfg, max_block_tiles)
     if blocks is None:
         return predictor.predict_mask(image_rgb)
     out = np.zeros((h, w), np.uint8)
-    pending = []
-    for b in blocks:
-        view = image_rgb[b.r0 : b.r0 + b.rows, b.c0 : b.c0 + b.cols]
-        pending.append((b, predictor.dispatch(np.ascontiguousarray(view))))
-    for b, d in pending:
+    pending: List[tuple] = []
+
+    def _drain_one() -> None:
+        b, d = pending.pop(0)
         np.maximum(
             out[b.r0 : b.r0 + b.rows, b.c0 : b.c0 + b.cols],
             predictor.fetch(d),
             out=out[b.r0 : b.r0 + b.rows, b.c0 : b.c0 + b.cols],
         )
+
+    for b in blocks:
+        view = image_rgb[b.r0 : b.r0 + b.rows, b.c0 : b.c0 + b.cols]
+        pending.append((b, predictor.dispatch(np.ascontiguousarray(view))))
+        if len(pending) >= max(int(max_in_flight), 1):
+            _drain_one()
+    while pending:
+        _drain_one()
     return out
 
 

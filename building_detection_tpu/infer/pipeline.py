@@ -335,7 +335,8 @@ class Pipeline:
         # internally pipelined over its blocks); the rest batch as usual
         big = [i for i, img in enumerate(images) if self._needs_blocking(img)]
         if big:
-            small_idx = [i for i in range(len(images)) if i not in set(big)]
+            big_set = set(big)
+            small_idx = [i for i in range(len(images)) if i not in big_set]
             small = self.predict_images([images[i] for i in small_idx])
             for i, r in zip(small_idx, small):
                 results[i] = r

@@ -17,6 +17,10 @@ reference models (`/root/reference/predict_model/*.py`):
 bf16 activations accumulate in f32 inside the MXU (TPU hardware behaviour);
 we deliberately do NOT set ``preferred_element_type`` on convs — a widened
 output dtype breaks the conv transpose rule under autodiff (mixed-dtype dW).
+The ONE exception is :func:`_int8_pointwise_matmul`: int8 x int8 needs an
+explicit int32 accumulator, and ``_use_int8`` gates it to inference-only
+apply mode (``not s.train and s.mode == "apply"``) so it is never
+differentiated; any future QAT/saliency path must bypass the int8 branch.
 """
 from __future__ import annotations
 

@@ -389,29 +389,6 @@ def _cleanup_pass(out: np.ndarray, eps2: float, closed: bool) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Minimum-area rectangle
 # ---------------------------------------------------------------------------
-def convex_hull(points: np.ndarray) -> np.ndarray:
-    """Andrew's monotone chain; (M, 2) CCW in image coords."""
-    pts = np.unique(np.asarray(points, np.int64).reshape(-1, 2), axis=0)
-    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
-    if len(pts) <= 2:
-        return pts
-
-    def half(seq):
-        out = []
-        for p in seq:
-            while len(out) >= 2:
-                a, b = out[-1] - out[-2], p - out[-2]
-                if a[0] * b[1] - a[1] * b[0] > 0:  # 2-D cross product
-                    break
-                out.pop()
-            out.append(p)
-        return out
-
-    lower = half(pts)
-    upper = half(pts[::-1])
-    return np.array(lower[:-1] + upper[:-1], np.int64)
-
-
 def _sklansky(ptr: list, pts: list, start: int, end: int, stack: list,
               nsign: int, sign2: int) -> int:
     """One quadrant pass of OpenCV's Sklansky'82 hull scan over the sorted
@@ -468,10 +445,10 @@ def convex_hull_cv2(points: np.ndarray, clockwise: bool = False) -> np.ndarray:
     rectangles) depends on where the hull starts, and cv2's hull starts at a
     position determined by its four Sklansky quadrant passes plus a final
     cyclic rotation that re-aligns the hull to ascending/descending ORIGINAL
-    point indices when possible.  :func:`convex_hull` (monotone chain) gives
-    the same cyclic polygon but not the same phase; this replica is
-    bit-order-exact (0 divergence over a 20k adversarial fuzz vs cv2,
-    including duplicate points and collinear strips)."""
+    point indices when possible.  A plain monotone chain would give the same
+    cyclic polygon but not the same phase; this replica is bit-order-exact
+    (0 divergence over a 20k adversarial fuzz vs cv2, including duplicate
+    points and collinear strips)."""
     pts = [tuple(map(int, p)) for p in np.asarray(points).reshape(-1, 2)]
     total = len(pts)
     ptr = sorted(range(total), key=lambda i: (pts[i][0], pts[i][1], i))

@@ -32,6 +32,7 @@ Error paths return ``{"status": "NG", "data": null, "points": {}, "error": ...}`
 from __future__ import annotations
 
 import base64
+import contextlib
 import json
 import os
 import re
@@ -170,9 +171,36 @@ class DetectionService:
         # and re-creates the per-client dir per request (the reference's
         # del_file, `buildAPI.py:92`), so without this a concurrent request
         # from ONE client could delete the dir while another is writing its
-        # result (the reference is single-threaded; this server is not)
-        self._client_locks: dict = {}
+        # result (the reference is single-threaded; this server is not).
+        # clientID is unauthenticated input, so the table is LRU-bounded:
+        # idle entries (refcount 0) are evicted past _MAX_CLIENT_LOCKS;
+        # in-use entries are pinned so two live requests from one client can
+        # never see different lock objects.
+        self._client_locks: "dict[str, list]" = {}  # id -> [lock, refcount]
         self._batcher = _MicroBatcher(pipeline)
+
+    _MAX_CLIENT_LOCKS = 1024
+
+    @contextlib.contextmanager
+    def _client_lock(self, client_id: str):
+        with self._dir_lock:
+            entry = self._client_locks.pop(client_id, None) or [
+                threading.Lock(), 0,
+            ]
+            entry[1] += 1
+            self._client_locks[client_id] = entry  # re-insert = LRU touch
+            if len(self._client_locks) > self._MAX_CLIENT_LOCKS:
+                for cid in list(self._client_locks):
+                    if len(self._client_locks) <= self._MAX_CLIENT_LOCKS:
+                        break
+                    if cid != client_id and self._client_locks[cid][1] == 0:
+                        del self._client_locks[cid]
+        try:
+            with entry[0]:
+                yield
+        finally:
+            with self._dir_lock:
+                entry[1] -= 1
 
     @staticmethod
     def _ng(error: str) -> dict:
@@ -205,15 +233,11 @@ class DetectionService:
                 return self._ng("传入的图片名字为空")
             client_id = client_id or "anonymous"
             user_path = self._user_dir(client_id)
-            with self._dir_lock:
-                client_lock = self._client_locks.setdefault(
-                    client_id, threading.Lock()
-                )
             # hold the client's lock across dir reset -> predict -> result
             # write: two concurrent requests from ONE client serialize
             # instead of one deleting the dir the other is writing into
             # (cross-client requests still run concurrently and micro-batch)
-            with client_lock:
+            with self._client_lock(client_id):
                 if os.path.exists(user_path):
                     shutil.rmtree(user_path)  # del_file per request (buildAPI.py:92)
                 os.makedirs(user_path, exist_ok=True)

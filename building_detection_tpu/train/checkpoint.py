@@ -104,22 +104,22 @@ class H5ImportReport:
     matched_by_order: int = 0
     unmatched_ours: list = dataclasses.field(default_factory=list)
     leftover_h5: list = dataclasses.field(default_factory=list)
-    shape_conflicts: list = dataclasses.field(default_factory=list)
+    # why the all-or-nothing name pass was abandoned (diagnostic only — the
+    # ordered pass may still resolve the file completely, so this does NOT
+    # gate `complete`; it explains surprising matched_by_order imports)
+    name_pass_rejected: str = ""
 
     @property
     def complete(self) -> bool:
-        return not (self.unmatched_ours or self.leftover_h5 or self.shape_conflicts)
+        return not (self.unmatched_ours or self.leftover_h5)
 
     def summary(self) -> str:
         lines = [
             f"h5 import: {self.matched_by_name} matched by name, "
             f"{self.matched_by_order} by order"
         ]
-        if self.shape_conflicts:
-            lines.append(
-                f"  SHAPE CONFLICTS ({len(self.shape_conflicts)}): "
-                + ", ".join(f"{k} ours{o} != h5{h}" for k, o, h in self.shape_conflicts[:10])
-            )
+        if self.name_pass_rejected:
+            lines.append(f"  name pass rejected: {self.name_pass_rejected}")
         if self.unmatched_ours:
             lines.append(
                 f"  UNMATCHED TARGET PARAMS ({len(self.unmatched_ours)}, left at "
@@ -231,15 +231,28 @@ def import_h5_weights(
     name_assign = {}
     name_used = set()
     names_complete = len(entries) == len(ours)
+    if not names_complete:
+        report.name_pass_rejected = (
+            f"h5 holds {len(entries)} weights, model has {len(ours)}"
+        )
     for key, kind in ours:
-        idx = by_name.get(key)
-        if idx is None or idx in name_used or tuple(
-            entries[idx][3].shape
-        ) != tuple(np.shape(targets[key])):
-            names_complete = False
+        if not names_complete:
             break
-        name_assign[key] = idx
-        name_used.add(idx)
+        idx = by_name.get(key)
+        if idx is None:
+            report.name_pass_rejected = f"{key} absent from h5 names"
+        elif idx in name_used:
+            report.name_pass_rejected = f"{entries[idx][2]} claimed twice"
+        elif tuple(entries[idx][3].shape) != tuple(np.shape(targets[key])):
+            report.name_pass_rejected = (
+                f"{key}: ours {tuple(np.shape(targets[key]))} != "
+                f"h5 {tuple(entries[idx][3].shape)}"
+            )
+        else:
+            name_assign[key] = idx
+            name_used.add(idx)
+            continue
+        names_complete = False
 
     consumed = set()
     if names_complete:

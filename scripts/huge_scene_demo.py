@@ -1,0 +1,126 @@
+"""Chip-scale demo of the blocked huge-scene path (`infer/large_scene.py`).
+
+The reference grinds arbitrarily large GeoTIFFs by keeping the canvas in
+host RAM and running one 512-tile at a time (`/root/reference/predict.py:
+98-116`) — O(tile) GPU memory, glacial.  Our engine stages whole scenes in
+HBM for throughput, so scenes beyond HBM take the blocked path: tile-grid-
+aligned blocks stream through the fused ensemble with bounded in-flight
+device memory, OR-stitched on host, bit-identical to the unblocked path
+(pinned by tests/test_large_scene.py on CPU).
+
+This script exercises that on the REAL chip:
+
+  phase 1 (sanity): a 2648x2648 scene (7x7 grid = 49 tiles) run unblocked
+    vs blocked (max_block_tiles=16) — asserts per-model bit-equality on
+    the actual TPU programs, not just the CPU test mesh;
+  phase 2 (scale): a --size**2 scene (default 14912 -> 41x41 = 1681 tiles,
+    ~667 MB of RGB) through `Pipeline` auto-routing with per-phase wall
+    time, tiles/s and the device's peak_bytes_in_use.
+
+Run:  python scripts/huge_scene_demo.py [--size 14912] [--models res34 ...]
+
+The dev tunnel moves ~20-35 MB/s, so phase 2's wall clock is dominated by
+the scene upload — the tiles/s number to compare against bench.py is the
+`compute-side` one printed from the pipeline's stage timer.
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def peak_hbm_gb() -> float:
+    import jax
+
+    stats = jax.devices()[0].memory_stats() or {}
+    return stats.get("peak_bytes_in_use", 0) / 2**30
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=14912)
+    ap.add_argument(
+        "--models", nargs="*",
+        default=["res34", "scse", "hrnet", "v3plus", "bam"],
+    )
+    ap.add_argument("--batch-tiles", type=int, default=128)
+    ap.add_argument("--skip-sanity", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    print(f"backend: {jax.devices()[0].platform} x{jax.device_count()}",
+          flush=True)
+
+    from building_detection_tpu.infer.large_scene import (
+        plan_blocks, predict_masks_blocked)
+    from building_detection_tpu.infer.pipeline import Pipeline
+    from building_detection_tpu.ops import tiling as T
+
+    pipe = Pipeline(
+        models=tuple(args.models),
+        batch_tiles=args.batch_tiles,
+        max_scene_tiles=1024,
+    )
+    rng = np.random.RandomState(0)
+
+    if not args.skip_sanity:
+        scene = rng.randint(0, 256, (2648, 2648, 3), np.uint8)
+        t0 = time.perf_counter()
+        whole = pipe.ensemble.predict_masks(scene)
+        t_whole = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        blocked = predict_masks_blocked(
+            pipe.ensemble, scene, max_block_tiles=16)
+        t_blocked = time.perf_counter() - t0
+        same = all(np.array_equal(whole[k], blocked[k]) for k in whole)
+        print(
+            f"sanity 2648^2 (49 tiles): unblocked {t_whole:.1f}s, "
+            f"blocked(16/block) {t_blocked:.1f}s, bit-equal={same}",
+            flush=True,
+        )
+        if not same:
+            print("FAIL: blocked != unblocked on chip")
+            return 1
+
+    size = args.size
+    plan_h = T._axis_tiles(size, pipe.cfg.tiler)[1]
+    n_tiles = plan_h * plan_h
+    blocks = plan_blocks(size, size, pipe.cfg.tiler, args.batch_tiles)
+    print(
+        f"scene {size}^2: {plan_h}x{plan_h} = {n_tiles} tiles, "
+        f"{(size * size * 3) / 2**20:.0f} MB RGB, "
+        f"{len(blocks or [])} blocks of <= {args.batch_tiles} tiles",
+        flush=True,
+    )
+    scene = rng.randint(0, 256, (size, size, 3), np.uint8)
+    pre_peak = peak_hbm_gb()
+    t0 = time.perf_counter()
+    result = pipe.predict_image(scene)
+    dt = time.perf_counter() - t0
+    post_peak = peak_hbm_gb()
+    fg = int((result.fused > 0).sum())
+    print(pipe.timer.report(), flush=True)
+    print(
+        f"huge scene end-to-end: {dt:.1f}s wall = {n_tiles / dt:.1f} "
+        f"tiles/s incl. tunnel upload; peak HBM {post_peak:.2f} GB "
+        f"(was {pre_peak:.2f} before), fused fg px={fg}, "
+        f"rings={len(result.corners)}",
+        flush=True,
+    )
+    est_unblocked = (size * size * 3 * 2 + size * size * len(args.models)) / 2**30
+    print(
+        f"(estimated unblocked resident canvases alone: {est_unblocked:.1f} "
+        f"GB bf16 scene + uint8 per-model masks)",
+        flush=True,
+    )
+    print("HUGE-SCENE DEMO: PASS", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
