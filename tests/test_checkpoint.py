@@ -138,6 +138,10 @@ class TestH5Import:
         write_keras_h5(path, layers)
         new_params, new_state, report = ckpt.import_h5_weights(path, params, state)
         assert report.complete and report.matched_by_order > 0
+        # the abandoned name pass leaves a diagnostic (not a failure): a
+        # matched_by_order import should be explainable from the report
+        assert report.name_pass_rejected
+        assert "name pass rejected" in report.summary()
         for k in params:
             np.testing.assert_array_equal(new_params[k], fake[k])
         for k in state:

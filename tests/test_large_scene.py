@@ -91,6 +91,36 @@ class TestBlockedSingleModel:
             pred.predict_mask(img),
         )
 
+    def test_in_flight_blocks_bounded(self):
+        """Device memory stays O(max_in_flight): never more than the window
+        of dispatched-but-unfetched blocks (the module's whole purpose —
+        an unbounded queue would OOM exactly the scenes this path exists
+        for)."""
+        pred = make_predictor()
+        live = {"now": 0, "peak": 0}
+        real_dispatch, real_fetch = pred.dispatch, pred.fetch
+
+        def dispatch(img):
+            live["now"] += 1
+            live["peak"] = max(live["peak"], live["now"])
+            return real_dispatch(img)
+
+        def fetch(d):
+            live["now"] -= 1
+            return real_fetch(d)
+
+        pred.dispatch, pred.fetch = dispatch, fetch
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (300, 300, 3), np.uint8)
+        blocked = LS.predict_mask_blocked(
+            pred, img, max_block_tiles=2, max_in_flight=3
+        )
+        pred.dispatch, pred.fetch = real_dispatch, real_fetch
+        assert live["peak"] <= 3 and live["now"] == 0
+        n_blocks = len(LS.plan_blocks(300, 300, CFG, 2))
+        assert n_blocks > 3  # the bound was actually exercised
+        np.testing.assert_array_equal(blocked, pred.predict_mask(img))
+
 
 class TestBlockedEnsemble:
     def _members(self):

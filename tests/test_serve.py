@@ -289,3 +289,47 @@ class TestConcurrentRequests:
         assert all(r["status"] == "success" for r in results)
         assert (root / "all_result" / "client_0" / "result.png").exists()
         assert (root / "all_result" / "client_1" / "result.png").exists()
+
+    def test_same_client_concurrent_serializes(self, tmp_path):
+        """Concurrent SAME-client requests hold one lock end-to-end (the
+        per-request dir reset would otherwise delete the dir another request
+        is writing its result into)."""
+        import io
+
+        from PIL import Image
+
+        svc = DetectionService(StubPipeline(), Config(), root_dir=str(tmp_path))
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(buf, "PNG")
+        payload = buf.getvalue()
+        results = []
+
+        def hit():
+            results.append(svc.handle_photo("one_client", "a.png", payload))
+
+        threads = [threading.Thread(target=hit) for _ in range(8)]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        assert all(r["status"] == "success" for r in results), results
+        assert (tmp_path / "all_result" / "one_client" / "result.png").exists()
+        # the refcount drains so the entry is evictable again
+        assert svc._client_locks["one_client"][1] == 0
+
+    def test_client_lock_table_lru_bounded(self, tmp_path, monkeypatch):
+        """clientID is unauthenticated input: the lock table must not grow
+        monotonically with unique IDs (memory exhaustion otherwise)."""
+        import io
+
+        from PIL import Image
+
+        svc = DetectionService(StubPipeline(), Config(), root_dir=str(tmp_path))
+        monkeypatch.setattr(DetectionService, "_MAX_CLIENT_LOCKS", 16)
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(buf, "PNG")
+        payload = buf.getvalue()
+        for i in range(40):
+            r = svc.handle_photo(f"cli_{i}", "a.png", payload)
+            assert r["status"] == "success"
+        assert len(svc._client_locks) <= 16
+        # most-recent clients survive the LRU (re-insert = touch)
+        assert "cli_39" in svc._client_locks

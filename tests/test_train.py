@@ -368,6 +368,20 @@ class TestTrainer:
         monkeypatch.setattr(tr, "_hbm_bytes_free", lambda: None)
         assert tr.should_stage(imgs, labs)  # unreported -> assume fits
 
+    def test_should_stage_counts_validation_arrays(self, monkeypatch):
+        """fit_arrays device_puts the val set alongside the staged epochs, so
+        auto mode must budget for it: a train set that fits alone but not
+        with the val set falls back to streaming instead of OOMing."""
+        imgs, labs = self.make_data()
+        tr = self.make_trainer()
+        need = imgs.nbytes + labs.nbytes
+        n_data = tr.mesh.shape.get("data", 1)
+        free = int((need / n_data) / 0.6) + 1  # train alone just fits
+        monkeypatch.setattr(tr, "_hbm_bytes_free", lambda: free)
+        assert tr.should_stage(imgs, labs)
+        assert not tr.should_stage(imgs, labs, extra_arrays=(imgs, labs))
+        assert tr.should_stage(imgs, labs, extra_arrays=(None, None))
+
     def test_augment_in_step_staged_matches_stepwise(self):
         """On-device per-step augmentation keys on the global step, so the
         staged scan epoch and the step loop see identical augmented batches
