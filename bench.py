@@ -46,6 +46,39 @@ CPU_BASELINE_TILES_PER_SEC = float(
 PEAK_FLOPS = float(os.environ.get("BDT_PEAK_FLOPS", "197e12"))
 
 
+def wait_for_backend(
+    attempts: int = 20, probe_timeout: float = 90.0, sleep_s: float = 60.0
+) -> None:
+    """Gate on TPU-backend health before touching jax in THIS process.
+
+    The dev tunnel sporadically drops: backend init then either errors
+    fast ("Unable to initialize backend 'axon'") or hangs indefinitely.
+    Probing in a SUBPROCESS with a timeout handles both failure modes —
+    the parent only initializes its own (cached-for-life) backend once a
+    probe has succeeded.  Bounded at ~20 min so a dead tunnel still fails
+    loudly rather than wedging the driver."""
+    import subprocess
+
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                if i:
+                    print(f"# backend up after {i + 1} probes", file=sys.stderr)
+                return
+            reason = (r.stderr or b"").decode()[-200:].replace("\n", " ")
+        except subprocess.TimeoutExpired:
+            reason = f"probe hung >{probe_timeout:.0f}s"
+        print(f"# backend probe {i + 1}/{attempts} failed: {reason}",
+              file=sys.stderr, flush=True)
+        time.sleep(sleep_s)
+    raise RuntimeError("TPU backend unavailable after all probes")
+
+
 def _flops_of(compiled) -> float:
     """Total FLOPs of a compiled XLA executable (0.0 if unavailable)."""
     try:
@@ -313,6 +346,8 @@ def measure_train(model_name: str, batch: int, iters: int):
 
 
 def main() -> int:
+    wait_for_backend()
+
     import jax
     import jax.numpy as jnp
 

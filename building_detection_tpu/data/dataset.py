@@ -80,7 +80,9 @@ def batch_iterator(
         yield np.stack(imgs), np.stack(labs)
 
 
-def device_prefetch(iterator: Iterator, mesh, depth: int = 2) -> Iterator:
+def device_prefetch(
+    iterator: Iterator, mesh, depth: int = 2, staged_steps: bool = False
+) -> Iterator:
     """Host->device upload pipelining for training batches.
 
     A background thread runs ``device_put`` (sharded over the mesh's data
@@ -89,9 +91,15 @@ def device_prefetch(iterator: Iterator, mesh, depth: int = 2) -> Iterator:
     showed ~0.3 s of upload inside every 0.6 s step (VERDICT r1 item 1).
     Yields device arrays; ``Trainer.train_on_batch`` passes them through
     without re-sharding.
+
+    ``staged_steps=True`` uploads each batch with a length-1 leading steps
+    axis in the staged-epoch sharding — the layout ``train_on_batch``'s
+    scan-body program consumes directly (no per-step device reshape).
     """
     import queue
     import threading
+
+    import numpy as _np
 
     from building_detection_tpu.parallel import mesh as pmesh
 
@@ -101,7 +109,22 @@ def device_prefetch(iterator: Iterator, mesh, depth: int = 2) -> Iterator:
     def worker():
         try:
             for item in iterator:
-                q.put(pmesh.shard_batch(item, mesh))
+                if staged_steps:
+                    import jax
+
+                    imgs, labs = item
+                    q.put((
+                        jax.device_put(
+                            _np.asarray(imgs)[None],
+                            pmesh.staged_sharded(mesh, 5),
+                        ),
+                        jax.device_put(
+                            _np.asarray(labs)[None],
+                            pmesh.staged_sharded(mesh, 4),
+                        ),
+                    ))
+                else:
+                    q.put(pmesh.shard_batch(item, mesh))
         finally:
             q.put(stop)
 

@@ -187,6 +187,10 @@ class Trainer:
         rep = pmesh.replicated(self.mesh)
         img_sh = pmesh.data_sharded(self.mesh, 4)
         lab_sh = pmesh.data_sharded(self.mesh, 3)
+        # standalone step program: kept for XLA cost analysis (bench.py
+        # lowers it for FLOPs) — NOT the execution path; train_on_batch runs
+        # the scan-body program so per-step == staged bitwise (see its
+        # docstring for the Adam ulp-amplification measurements)
         self._train_step = jax.jit(
             train_step,
             in_shardings=(rep, rep, rep, img_sh, lab_sh, rep),
@@ -235,19 +239,42 @@ class Trainer:
         """One optimizer step.  ``fetch_metrics=False`` returns the metrics
         as device arrays WITHOUT synchronising — the reference harness (and
         round 1 of this rebuild) blocked on a metrics read every step, which
-        serialises host transfers against compute (`res34.py:673-678`)."""
+        serialises host transfers against compute (`res34.py:673-678`).
+
+        Runs through the SAME compiled scan body as :meth:`train_epoch_staged`
+        (a length-1 steps axis), not a standalone step program.  XLA compiles
+        a standalone step and a scan body to slightly different instruction
+        schedules (~1 ulp on f32 grads), and Adam amplifies ulp differences
+        chaotically wherever a gradient coordinate is near zero (m/sqrt(v)
+        has magnitude ~1 regardless of |grad|, so a sign flip moves the
+        update by ~2*lr: measured 7e-8 max param diff after step 1 growing
+        to 6.9e-4 by step 2 on res34).  One program makes per-step and
+        staged training bit-identical — `scan(k)` == `scan(1)` k times holds
+        exactly (probed on the 8-device mesh; pinned by dryrun_multichip and
+        tests/test_train.py)."""
         if isinstance(images_u8, jax.Array):
-            batch = (images_u8, labels_u8)  # already staged (device_prefetch)
+            imgs5, labs4 = images_u8, labels_u8
+            if imgs5.ndim == 4:  # un-staged device arrays (compat path)
+                imgs5, labs4 = imgs5[None], labs4[None]
         else:
-            batch = pmesh.shard_batch((images_u8, labels_u8), self.mesh)
-        self.params, self.state, self.opt_state, metrics = self._train_step(
-            self.params, self.state, self.opt_state, *batch,
+            imgs5 = jax.device_put(
+                np.asarray(images_u8)[None], pmesh.staged_sharded(self.mesh, 5)
+            )
+            labs4 = jax.device_put(
+                np.asarray(labels_u8)[None], pmesh.staged_sharded(self.mesh, 4)
+            )
+        self.params, self.state, self.opt_state, metrics = self._epoch_fn(
+            self.params, self.state, self.opt_state, imgs5, labs4,
             jnp.asarray(self.step, jnp.int32),
         )
         self.step += 1
         if fetch_metrics:
-            return {k: float(v) for k, v in metrics.items()}
-        return metrics
+            return {
+                k: float(np.asarray(v).ravel()[0]) for k, v in metrics.items()
+            }
+        # drop the length-1 steps axis (async slice, no sync) so deferred
+        # metrics keep their scalar contract
+        return {k: v[0] for k, v in metrics.items()}
 
     def eval_on_batch(self, images_u8, labels_u8) -> Dict[str, float]:
         batch = pmesh.shard_batch((images_u8, labels_u8), self.mesh)
@@ -400,7 +427,14 @@ class Trainer:
         for epoch in range(cfg.epochs):
             t0 = time.time()
             metrics = self.train_epoch_staged(imgs_dev, labs_dev)
-            agg = {k: float(np.mean(v)) for k, v in metrics.items()}
+            # sequential f64 running sum: the SAME aggregation arithmetic as
+            # fit()'s streamed loop, so epoch means are bitwise equal too
+            # (per-step values already are; np.mean's pairwise summation
+            # would differ in the last bits at larger step counts)
+            agg = {
+                k: sum(float(x) for x in np.asarray(v).ravel()) / len(v)
+                for k, v in metrics.items()
+            }
             if val_dev is not None:
                 vagg: Dict[str, float] = {}
                 for vb in val_dev:
@@ -443,7 +477,7 @@ class Trainer:
         from building_detection_tpu.data.dataset import device_prefetch
 
         cfg = self.cfg
-        train_iter = device_prefetch(train_iter, self.mesh)
+        train_iter = device_prefetch(train_iter, self.mesh, staged_steps=True)
         for epoch in range(cfg.epochs):
             t0 = time.time()
             step_metrics = [
@@ -454,7 +488,8 @@ class Trainer:
             agg: Dict[str, float] = {}
             for m in fetched:
                 for k, v in m.items():
-                    agg[k] = agg.get(k, 0.0) + float(v)
+                    # unfetched train metrics carry the length-1 steps axis
+                    agg[k] = agg.get(k, 0.0) + float(np.asarray(v).ravel()[0])
             agg = {k: v / self.steps_per_epoch for k, v in agg.items()}
             if val_iter is not None and val_steps:
                 vagg: Dict[str, float] = {}

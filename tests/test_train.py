@@ -263,15 +263,19 @@ class TestTrainer:
         images_dev, labels_dev = tr_scan.stage_dataset(imgs, labs)
         metrics = tr_scan.train_epoch_staged(images_dev, labels_dev)
         assert metrics["loss"].shape == (n_steps,)
-        np.testing.assert_allclose(
-            metrics["loss"], np.asarray(loop_losses), rtol=1e-6
+        # BIT-equal, not approx: train_on_batch executes the same compiled
+        # scan body as the staged epoch (a separate standalone-step program
+        # differs by ~1 ulp, which Adam amplifies chaotically at near-zero
+        # gradients — Trainer.train_on_batch docstring)
+        np.testing.assert_array_equal(
+            np.asarray(metrics["loss"], np.float64), np.asarray(loop_losses)
         )
         assert tr_scan.step == tr_loop.step == n_steps
         # resulting parameters identical too
         pa = jax.device_get(tr_loop.params)
         pb = jax.device_get(tr_scan.params)
         for k in pa:
-            np.testing.assert_allclose(pa[k], pb[k], rtol=1e-6, atol=1e-7)
+            np.testing.assert_array_equal(pa[k], pb[k], err_msg=k)
 
     def test_remat_matches_plain(self):
         """jax.checkpoint remat changes memory, not numerics."""
@@ -350,11 +354,11 @@ class TestTrainer:
         )
         assert len(h_staged) == len(h_stream) == 2
         for a, b in zip(h_staged, h_stream):
-            assert a["loss"] == pytest.approx(b["loss"], rel=1e-6)
+            assert a["loss"] == b["loss"]  # same compiled scan body: bitwise
         pa = jax.device_get(tr_staged.params)
         pb = jax.device_get(tr_stream.params)
         for k in pa:
-            np.testing.assert_allclose(pa[k], pb[k], rtol=1e-6, atol=1e-7)
+            np.testing.assert_array_equal(pa[k], pb[k], err_msg=k)
         assert glob.glob(str(tmp_path / "a") + "/*.npz")
 
     def test_fit_arrays_auto_respects_budget(self, monkeypatch):
