@@ -407,13 +407,13 @@ class TestTrainer:
         tr_scan = Trainer(tiny_model, cfg, steps_per_epoch=n_steps,
                           augment=True, augment_seed=5)
         metrics = tr_scan.train_epoch_staged(*tr_scan.stage_dataset(imgs, labs))
-        np.testing.assert_allclose(
-            metrics["loss"], np.asarray(loop_losses), rtol=1e-6
+        np.testing.assert_array_equal(  # one compiled scan body: bitwise
+            np.asarray(metrics["loss"], np.float64), np.asarray(loop_losses)
         )
         pa = jax.device_get(tr_loop.params)
         pb = jax.device_get(tr_scan.params)
         for k in pa:
-            np.testing.assert_allclose(pa[k], pb[k], rtol=1e-6, atol=1e-7)
+            np.testing.assert_array_equal(pa[k], pb[k], err_msg=k)
 
     def test_augment_changes_batches_but_not_determinism(self):
         """Same seed -> same run; augmentation actually perturbs the loss."""
