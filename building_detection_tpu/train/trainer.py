@@ -77,6 +77,7 @@ class Trainer:
         remat: bool = False,
         augment=None,
         augment_seed: int = 0,
+        tp: bool = False,
     ):
         """``remat=True`` enables per-stage rematerialisation: the forward is
         wrapped in ``jax.checkpoint(policy=save_only_these_names('stage'))``,
@@ -96,7 +97,19 @@ class Trainer:
         jitted but then pulled the result back and re-uploaded it through the
         ~20 MB/s tunnel — VERDICT r2 "weak" item).  The per-step key is
         ``fold_in(key(augment_seed), global_step)``, which makes the staged
-        epoch path and per-step path bit-identical."""
+        epoch path and per-step path bit-identical.
+
+        ``tp=True`` (with a mesh whose ``model`` axis is > 1) trains with
+        hybrid data x channel tensor parallelism: every conv kernel's
+        output-channel dimension is GSPMD-sharded over the model axis
+        (`parallel/tp.py` — the same annotations the TP inference path
+        uses), optimizer moments inherit the param shardings, and XLA's
+        SPMD partitioner places the forward/backward collectives.  The
+        reference has nothing comparable (single GPU, SURVEY §2.3); this
+        is for models whose params/optimizer state exceed one chip.
+        TP-vs-DP numerics agree to float noise, not bitwise — different
+        programs schedule f32 reductions differently (see the
+        one-compiled-program rule in docs/ARCHITECTURE.md)."""
         self.model_name = model_name if isinstance(model_name, str) else getattr(model_name, "__name__", "custom")
         self.model_fn = (
             MODEL_REGISTRY[model_name] if isinstance(model_name, str) else model_name
@@ -184,23 +197,37 @@ class Trainer:
             metrics["loss"] = loss_fn(y_true, probs)
             return metrics
 
+        self.tp = bool(tp) and self.mesh.shape.get(pmesh.MODEL_AXIS, 1) > 1
         rep = pmesh.replicated(self.mesh)
         img_sh = pmesh.data_sharded(self.mesh, 4)
         lab_sh = pmesh.data_sharded(self.mesh, 3)
+        if self.tp:
+            # variables carry their TP shardings (committed device arrays);
+            # jit infers in_shardings from them and GSPMD propagates through
+            # the step, placing the forward/backward collectives
+            step_in = epoch_in = eval_in = None
+            step_out = epoch_out = eval_out = None
+        else:
+            step_in = (rep, rep, rep, img_sh, lab_sh, rep)
+            step_out = (rep, rep, rep, rep)
+            epoch_in = None  # set below (needs img5/lab4)
+            epoch_out = (rep, rep, rep, rep)
+            eval_in = (rep, rep, img_sh, lab_sh)
+            eval_out = rep
         # standalone step program: kept for XLA cost analysis (bench.py
         # lowers it for FLOPs) — NOT the execution path; train_on_batch runs
         # the scan-body program so per-step == staged bitwise (see its
         # docstring for the Adam ulp-amplification measurements)
         self._train_step = jax.jit(
             train_step,
-            in_shardings=(rep, rep, rep, img_sh, lab_sh, rep),
-            out_shardings=(rep, rep, rep, rep),
+            in_shardings=step_in,
+            out_shardings=step_out,
             donate_argnums=(0, 1, 2),
         )
         self._eval_step = jax.jit(
             eval_step,
-            in_shardings=(rep, rep, img_sh, lab_sh),
-            out_shardings=rep,
+            in_shardings=eval_in,
+            out_shardings=eval_out,
         )
 
         # Whole-epoch runner: lax.scan over pre-staged device batches — ONE
@@ -223,16 +250,28 @@ class Trainer:
 
         img5 = pmesh.staged_sharded(self.mesh, 5)
         lab4 = pmesh.staged_sharded(self.mesh, 4)
+        if epoch_in is None and not self.tp:
+            epoch_in = (rep, rep, rep, img5, lab4, rep)
         self._epoch_fn = jax.jit(
             epoch_fn,
-            in_shardings=(rep, rep, rep, img5, lab4, rep),
-            out_shardings=(rep, rep, rep, rep),
+            in_shardings=epoch_in,
+            out_shardings=epoch_out,
             donate_argnums=(0, 1, 2),
         )
         # place variables on the mesh
-        self.params = pmesh.replicate(self.params, self.mesh)
-        self.state = pmesh.replicate(self.state, self.mesh)
-        self.opt_state = pmesh.replicate(self.opt_state, self.mesh)
+        if self.tp:
+            from building_detection_tpu.parallel.tp import (
+                tp_replicate_state, tp_shard_params)
+
+            self.params = tp_shard_params(self.params, self.mesh)
+            self.state = tp_replicate_state(self.state, self.mesh)
+            # re-init on the sharded params: optax zeros_like moments
+            # inherit each param's TP sharding, count stays replicated
+            self.opt_state = self.tx.init(self.params)
+        else:
+            self.params = pmesh.replicate(self.params, self.mesh)
+            self.state = pmesh.replicate(self.state, self.mesh)
+            self.opt_state = pmesh.replicate(self.opt_state, self.mesh)
 
     # -- single steps ------------------------------------------------------
     def train_on_batch(self, images_u8, labels_u8, fetch_metrics: bool = True):

@@ -62,6 +62,46 @@ class TestDPMatchesSingle:
         assert m_multi["PA"] == pytest.approx(m_single["PA"], abs=1e-5)
 
 
+class TestTPTraining:
+    def test_hybrid_dp_tp_close_to_dp(self):
+        """dp(2) x tp(4) training: conv out-channels GSPMD-sharded over the
+        model axis, optimizer moments inheriting the shardings.  Agreement
+        with pure DP is float-noise, not bitwise (different programs — see
+        the one-compiled-program rule in docs/ARCHITECTURE.md); losses are
+        insensitive reductions and compare tightly, params loosely (Adam
+        amplifies reduction-order ulps at near-zero gradients)."""
+        cfg = TrainConfig(batch_size=8, epochs=1, warmup_epochs=1, image_size=16)
+        rng = np.random.RandomState(7)
+        imgs = rng.randint(0, 256, (8, 16, 16, 3), np.uint8)
+        labs = np.where(rng.rand(8, 16, 16) < 0.4, 255, 0).astype(np.uint8)
+
+        t_tp = Trainer(tiny_model, cfg, steps_per_epoch=2,
+                       mesh=pmesh.make_mesh(data=2, model=4), tp=True)
+        assert t_tp.tp
+        # the 8-out-channel kernels actually shard over the 4-way model axis
+        from building_detection_tpu.parallel.mesh import MODEL_AXIS
+        sharded_kernels = [
+            k for k, v in t_tp.params.items()
+            if MODEL_AXIS in str(getattr(v.sharding, "spec", ""))
+        ]
+        assert sharded_kernels, "no parameter was TP-sharded"
+
+        t_dp = Trainer(tiny_model, cfg, steps_per_epoch=2,
+                       mesh=pmesh.make_mesh(data=8))
+        m_tp = t_tp.train_on_batch(imgs, labs)
+        m_dp = t_dp.train_on_batch(imgs, labs)
+        assert m_tp["loss"] == pytest.approx(m_dp["loss"], rel=2e-4)
+        pa = jax.device_get(t_tp.params)
+        pb = jax.device_get(t_dp.params)
+        for k in pa:
+            np.testing.assert_allclose(
+                pa[k], pb[k], rtol=1e-3, atol=1e-4, err_msg=k
+            )
+        # staged epoch runs under TP too (same scan body)
+        metrics = t_tp.train_epoch_staged(*t_tp.stage_dataset(imgs, labs))
+        assert np.isfinite(metrics["loss"]).all()
+
+
 class TestCallbacks:
     def _data(self):
         imgs = np.random.RandomState(3).randint(0, 256, (8, 16, 16, 3), np.uint8)
