@@ -21,6 +21,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--image-size", type=int, default=512)
     p.add_argument("--precision", choices=["bf16", "f32"], default="f32")
+    p.add_argument(
+        "--data-parallel", type=int, default=-1,
+        help="devices on the data axis; -1 = as many as the batch divides "
+        "over (a batch of 2 on an 8-device host must not shard 8 ways)",
+    )
     return p
 
 
@@ -39,10 +44,22 @@ def main(argv=None) -> int:
     pairs = list_pairs(args.images, args.labels)
     steps = max(len(pairs) // args.batch_size, 1)
     cfg = TrainConfig(batch_size=args.batch_size, image_size=args.image_size)
+    import math
+
+    import jax
+
+    from building_detection_tpu.parallel.mesh import make_mesh
+
+    data = args.data_parallel
+    if data == -1:
+        # the batch must divide the data axis; an 8-device host evaluating
+        # batch 2 shards 2 ways, not 8 (regression: tests/test_cli.py)
+        data = math.gcd(args.batch_size, jax.device_count())
     trainer = Trainer(
         args.model,
         cfg,
         steps_per_epoch=steps,
+        mesh=make_mesh(data=data),
         compute_dtype=jnp.bfloat16 if args.precision == "bf16" else jnp.float32,
     )
     trainer.restore(args.checkpoint)
