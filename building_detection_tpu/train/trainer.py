@@ -492,9 +492,24 @@ class Trainer:
                 self.save(
                     os.path.join(checkpoint_dir, f"epoch_{epoch + 1}_weights.npz")
                 )
+                self._write_history(checkpoint_dir)
             if callbacks and any(cb(self, epoch, agg) for cb in list(callbacks)):
                 break
         return self.history
+
+    def _write_history(self, checkpoint_dir: str) -> None:
+        """Persist the fit history as JSON next to the checkpoints (atomic).
+
+        The reference keeps metrics only in the console scrollback
+        (`res34.py:663-678` prints, saves nothing); a crash or a closed
+        terminal loses the whole training record.  One file, rewritten per
+        epoch, keyed by epoch order."""
+        import json
+
+        tmp = os.path.join(checkpoint_dir, ".history.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.history, f, indent=1)
+        os.replace(tmp, os.path.join(checkpoint_dir, "history.json"))
 
     def fit(
         self,
@@ -548,6 +563,7 @@ class Trainer:
                 self.save(
                     os.path.join(checkpoint_dir, f"epoch_{epoch + 1}_weights.npz")
                 )
+                self._write_history(checkpoint_dir)
             if callbacks and any(cb(self, epoch, agg) for cb in list(callbacks)):
                 break
         return self.history

@@ -360,6 +360,11 @@ class TestTrainer:
         for k in pa:
             np.testing.assert_array_equal(pa[k], pb[k], err_msg=k)
         assert glob.glob(str(tmp_path / "a") + "/*.npz")
+        # fit history persisted next to the checkpoints on BOTH paths
+        import json
+        for d in ("a", "b"):
+            hist = json.load(open(str(tmp_path / d / "history.json")))
+            assert len(hist) == 2 and "loss" in hist[0]
 
     def test_fit_arrays_auto_respects_budget(self, monkeypatch):
         """auto mode stages iff the dataset fits the reported free HBM."""
