@@ -583,8 +583,32 @@ class Trainer:
         params, state, opt_state, step, _ = ckpt.load_variables(
             path, opt_state_template=jax.device_get(self.opt_state)
         )
-        self.params = pmesh.replicate(params, self.mesh)
-        self.state = pmesh.replicate(state, self.mesh)
-        if opt_state is not None:
-            self.opt_state = pmesh.replicate(opt_state, self.mesh)
+        if self.tp:
+            # re-place with the TP shardings — a plain replicate would
+            # silently drop tensor parallelism on resume
+            from building_detection_tpu.parallel.tp import (
+                tp_replicate_state, tp_shard_params)
+
+            self.params = tp_shard_params(params, self.mesh)
+            self.state = tp_replicate_state(state, self.mesh)
+            if opt_state is not None:
+                from jax.sharding import NamedSharding
+
+                rep = pmesh.replicated(self.mesh)
+                shardings = jax.tree_util.tree_map(
+                    # scalars like the Adam count are created uncommitted
+                    # (single-device); replicate those over the mesh
+                    lambda x: x.sharding
+                    if isinstance(x.sharding, NamedSharding)
+                    else rep,
+                    self.opt_state,
+                )
+                self.opt_state = jax.tree_util.tree_map(
+                    jax.device_put, opt_state, shardings
+                )
+        else:
+            self.params = pmesh.replicate(params, self.mesh)
+            self.state = pmesh.replicate(state, self.mesh)
+            if opt_state is not None:
+                self.opt_state = pmesh.replicate(opt_state, self.mesh)
         self.step = step

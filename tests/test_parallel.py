@@ -101,6 +101,39 @@ class TestTPTraining:
         metrics = t_tp.train_epoch_staged(*t_tp.stage_dataset(imgs, labs))
         assert np.isfinite(metrics["loss"]).all()
 
+    def test_tp_resume_keeps_shardings(self, tmp_path):
+        """save -> restore on a TP trainer must re-place the variables with
+        their TP shardings (a plain replicate would silently run the rest
+        of training unsharded)."""
+        from building_detection_tpu.parallel.mesh import MODEL_AXIS
+
+        cfg = TrainConfig(batch_size=8, epochs=1, warmup_epochs=1, image_size=16)
+        rng = np.random.RandomState(9)
+        imgs = rng.randint(0, 256, (8, 16, 16, 3), np.uint8)
+        labs = np.where(rng.rand(8, 16, 16) < 0.4, 255, 0).astype(np.uint8)
+        tr = Trainer(tiny_model, cfg, steps_per_epoch=2,
+                     mesh=pmesh.make_mesh(data=2, model=4), tp=True)
+        tr.train_on_batch(imgs, labs)
+        path = str(tmp_path / "ckpt.npz")
+        tr.save(path)
+
+        tr2 = Trainer(tiny_model, cfg, steps_per_epoch=2,
+                      mesh=pmesh.make_mesh(data=2, model=4), tp=True)
+        tr2.restore(path)
+        assert tr2.step == 1
+        sharded = [
+            k for k, v in tr2.params.items()
+            if MODEL_AXIS in str(getattr(v.sharding, "spec", ""))
+        ]
+        assert sharded, "restore dropped the TP shardings"
+        # params round-trip exactly and training continues
+        pa = jax.device_get(tr.params)
+        pb = jax.device_get(tr2.params)
+        for k in pa:
+            np.testing.assert_array_equal(pa[k], pb[k], err_msg=k)
+        m = tr2.train_on_batch(imgs, labs)
+        assert np.isfinite(m["loss"])
+
 
 class TestCallbacks:
     def _data(self):
