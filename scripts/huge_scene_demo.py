@@ -51,6 +51,10 @@ def main() -> int:
     ap.add_argument("--skip-sanity", action="store_true")
     args = ap.parse_args()
 
+    from bench import wait_for_backend
+
+    wait_for_backend()
+
     import jax
 
     print(f"backend: {jax.devices()[0].platform} x{jax.device_count()}",
