@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from building_detection_tpu.core.config import Config
 from building_detection_tpu.core.runtime import enable_compilation_cache

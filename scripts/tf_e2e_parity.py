@@ -15,9 +15,10 @@ Usage: python scripts/tf_e2e_parity.py [scene_size [scene_h,scene_w ...]]
 Defaults: one 600x600 square scene and one 600x700 non-square scene run with
 fix_nonsquare_bug=False (the faithful-replication mode, `predict.py:106`).
 """
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tests import tf_oracle  # noqa: E402  (sets TF_USE_LEGACY_KERAS first)
 
@@ -106,7 +107,9 @@ def main():
     scenes = [synthetic_scene(rng, h, w) for h, w in shapes]
 
     # --- reference path: TF tiler loop + cv2-transcription fusion/edges ----
-    sys.path.insert(0, "/root/repo/tests")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "tests"))
     import reference_oracle as RO
 
     ref_results = []

@@ -7,9 +7,10 @@ Builds the reference model verbatim under real tf_keras, saves its weights
 a fixed random input.  Run one model per process (Keras name counters are
 process-global).
 """
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tests import tf_oracle  # noqa: E402  (sets TF_USE_LEGACY_KERAS first)
 
