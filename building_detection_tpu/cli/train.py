@@ -18,6 +18,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", default="weights1")
     p.add_argument("--resume", help="checkpoint to resume from (exact, incl. optimizer)")
     p.add_argument(
+        "--init-weights",
+        help="weights-only init (.h5 or .npz) for transfer learning — the "
+        "reference's WHU-pretrained -> fine-tune workflow; optimizer, "
+        "schedule and step start fresh (use --resume for exact resume)",
+    )
+    p.add_argument(
         "--auto-resume",
         action="store_true",
         help="resume from the newest epoch_N_weights.npz in --checkpoint-dir",
@@ -94,9 +100,19 @@ def main(argv=None) -> int:
                 candidates,
                 key=lambda p: int(re.search(r"epoch_(\d+)_", p).group(1)),
             )
+    if resume_path and args.init_weights:
+        raise SystemExit(
+            "--init-weights conflicts with --resume/--auto-resume: exact "
+            "resume already restores the weights"
+        )
     if resume_path:
         trainer.restore(resume_path)
         print(f"resumed from {resume_path} at step {trainer.step}")
+    elif args.init_weights:
+        trainer.load_weights(args.init_weights)
+        print(
+            f"initialised weights from {args.init_weights} (fresh optimizer)"
+        )
 
     # Host memory ceiling for decoding the whole dataset up front; past it,
     # stream from disk per step (the staged-HBM decision proper is

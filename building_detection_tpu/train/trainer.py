@@ -579,25 +579,77 @@ class Trainer:
             metadata={"model": self.model_name},
         )
 
-    def restore(self, path: str) -> None:
-        params, state, opt_state, step, _ = ckpt.load_variables(
-            path, opt_state_template=jax.device_get(self.opt_state)
-        )
+    def load_weights(self, path: str) -> None:
+        """Weights-only initialisation: params + BN state from ``path``,
+        optimizer state, schedule and step left fresh.
+
+        This is the reference's transfer-learning workflow — its models are
+        WHU-pretrained and then fine-tuned on the lab's own imagery
+        (`/root/reference/README.md:7`), starting each run from a hand-picked
+        ``.h5`` (the files `predict.py:17-54` deploys).  Accepts such Keras
+        weights-only ``.h5`` files (strict import, see
+        ``checkpoint.import_h5_weights``) or our ``.npz`` checkpoints, whose
+        optimizer state and step — if present — are deliberately ignored;
+        use :meth:`restore` for exact resume.
+        """
+        host_params = jax.device_get(self.params)
+        host_state = jax.device_get(self.state)
+        if path.endswith((".h5", ".hdf5")):
+            params, state, report = ckpt.import_h5_weights(
+                path, host_params, host_state, strict=True
+            )
+        else:
+            params, state, _, _, _ = ckpt.load_variables(path)
+            # loud structural check: a wrong-model npz must not half-apply
+            for name, theirs, ours in (
+                ("params", params, host_params),
+                ("state", state, host_state),
+            ):
+                if set(theirs) != set(ours):
+                    missing = sorted(set(ours) - set(theirs))[:3]
+                    extra = sorted(set(theirs) - set(ours))[:3]
+                    raise ValueError(
+                        f"{path} does not match model {self.model_name!r} "
+                        f"({name} keys differ; missing e.g. {missing}, "
+                        f"unexpected e.g. {extra})"
+                    )
+                for k in ours:
+                    if tuple(np.shape(theirs[k])) != tuple(np.shape(ours[k])):
+                        raise ValueError(
+                            f"{path}: {name}[{k!r}] shape "
+                            f"{tuple(np.shape(theirs[k]))} != model's "
+                            f"{tuple(np.shape(ours[k]))}"
+                        )
+        self._place_weights(params, state)
+
+    def _place_weights(self, params, state) -> None:
+        """Put restored host trees onto the mesh with the trainer's
+        shardings (TP shardings when ``tp=True`` — a plain replicate would
+        silently drop tensor parallelism, see :meth:`restore`)."""
         if self.tp:
-            # re-place with the TP shardings — a plain replicate would
-            # silently drop tensor parallelism on resume
             from building_detection_tpu.parallel.tp import (
                 tp_replicate_state, tp_shard_params)
 
             self.params = tp_shard_params(params, self.mesh)
             self.state = tp_replicate_state(state, self.mesh)
-            if opt_state is not None:
+        else:
+            self.params = pmesh.replicate(params, self.mesh)
+            self.state = pmesh.replicate(state, self.mesh)
+
+    def restore(self, path: str) -> None:
+        params, state, opt_state, step, _ = ckpt.load_variables(
+            path, opt_state_template=jax.device_get(self.opt_state)
+        )
+        self._place_weights(params, state)
+        if opt_state is not None:
+            if self.tp:
                 from jax.sharding import NamedSharding
 
                 rep = pmesh.replicated(self.mesh)
                 shardings = jax.tree_util.tree_map(
+                    # optimizer moments inherit the TP param shardings;
                     # scalars like the Adam count are created uncommitted
-                    # (single-device); replicate those over the mesh
+                    # (single-device) — replicate those over the mesh
                     lambda x: x.sharding
                     if isinstance(x.sharding, NamedSharding)
                     else rep,
@@ -606,9 +658,6 @@ class Trainer:
                 self.opt_state = jax.tree_util.tree_map(
                     jax.device_put, opt_state, shardings
                 )
-        else:
-            self.params = pmesh.replicate(params, self.mesh)
-            self.state = pmesh.replicate(state, self.mesh)
-            if opt_state is not None:
+            else:
                 self.opt_state = pmesh.replicate(opt_state, self.mesh)
         self.step = step

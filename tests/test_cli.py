@@ -90,6 +90,63 @@ class TestTrainEvalCli:
         assert train_cli.main(base) == 0
         assert train_cli.main(base + ["--auto-resume"]) == 0
 
+    def test_convert_and_init_weights_transfer(self, tmp_path):
+        """bdt-convert round-trips npz <-> reference-format .h5, and
+        bdt-train --init-weights fine-tunes from the .h5 — the reference's
+        transfer-learning story (WHU-pretrained weights -> lab data,
+        `/root/reference/README.md:7`, loaded via `predict.py:17-54`)."""
+        import numpy as np
+
+        from building_detection_tpu.cli import convert as convert_cli
+        from building_detection_tpu.cli import train as train_cli
+
+        img_dir, lab_dir = write_pairs(tmp_path, n=4, size=16)
+        pretrain_dir = str(tmp_path / "pretrain")
+        base = [
+            "res34",
+            "--train-images", img_dir,
+            "--train-labels", lab_dir,
+            "--batch-size", "2",
+            "--epochs", "1",
+            "--warmup-epochs", "1",
+            "--image-size", "16",
+            "--precision", "f32",
+            "--data-parallel", "1",
+        ]
+        assert train_cli.main(base + ["--checkpoint-dir", pretrain_dir]) == 0
+        npz = os.path.join(pretrain_dir, "epoch_1_weights.npz")
+
+        # npz -> reference-format .h5 and back: weights bit-identical
+        h5 = str(tmp_path / "resnet34.h5")
+        npz2 = str(tmp_path / "back.npz")
+        assert convert_cli.main(["res34", npz, h5, "--image-size", "16"]) == 0
+        assert convert_cli.main(["res34", h5, npz2, "--image-size", "16"]) == 0
+        with np.load(npz) as a, np.load(npz2) as b:
+            for key in a.files:
+                if key.startswith(("params||", "state||")):
+                    np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+
+        # fine-tune from the .h5 with a fresh optimizer
+        finetune_dir = str(tmp_path / "finetune")
+        assert train_cli.main(
+            base + ["--checkpoint-dir", finetune_dir, "--init-weights", h5]
+        ) == 0
+        assert os.path.exists(os.path.join(finetune_dir, "epoch_1_weights.npz"))
+
+        # --init-weights + resume is a contradiction and must fail loudly
+        with pytest.raises(SystemExit):
+            train_cli.main(
+                base + [
+                    "--checkpoint-dir", finetune_dir,
+                    "--init-weights", h5,
+                    "--auto-resume",
+                ]
+            )
+
+        # wrong-model direction fails loudly too (hrnet pytrees != res34 npz)
+        with pytest.raises(SystemExit):
+            convert_cli.main(["hrnet", npz, str(tmp_path / "x.h5"), "--image-size", "16"])
+
 
 class TestPredictCli:
     def test_directory_mode_writes_contract_files(self, tmp_path, capsys):

@@ -199,6 +199,69 @@ def tiny_model(s, x):
     return L.conv2d(s, x, 2, 1, activation="softmax")
 
 
+class TestLoadWeights:
+    """Weights-only init (`Trainer.load_weights`) — the reference's
+    transfer-learning workflow: start from a pretrained ``.h5``
+    (`predict.py:17-54` files) with a fresh optimizer/schedule."""
+
+    def _data(self, n=8, hw=32, seed=0):
+        rng = np.random.RandomState(seed)
+        imgs = rng.randint(0, 256, (n, hw, hw, 3), np.uint8)
+        labs = np.where(rng.rand(n, hw, hw) < 0.3, 255, 0).astype(np.uint8)
+        return imgs, labs
+
+    def _trainer(self):
+        cfg = TrainConfig(batch_size=8, epochs=2, warmup_epochs=1, image_size=32)
+        return Trainer(tiny_model, cfg, steps_per_epoch=3)
+
+    def test_init_from_h5_and_npz(self, tmp_path):
+        from building_detection_tpu.train import checkpoint as ckpt
+
+        imgs, labs = self._data()
+        src = self._trainer()
+        for _ in range(3):
+            src.train_on_batch(imgs, labs)
+        h5_path = str(tmp_path / "w.h5")
+        npz_path = str(tmp_path / "w.npz")
+        ckpt.export_h5_weights(
+            h5_path, jax.device_get(src.params), jax.device_get(src.state)
+        )
+        src.save(npz_path)  # full checkpoint incl. optimizer + step
+
+        for path in (h5_path, npz_path):
+            dst = self._trainer()
+            dst.load_weights(path)
+            # weights match the source exactly ...
+            sp, dp = jax.device_get(src.params), jax.device_get(dst.params)
+            for k in sp:
+                np.testing.assert_array_equal(sp[k], dp[k], err_msg=k)
+            ss, ds = jax.device_get(src.state), jax.device_get(dst.state)
+            for k in ss:
+                np.testing.assert_array_equal(ss[k], ds[k], err_msg=k)
+            # ... but the optimizer and step are FRESH (transfer learning,
+            # not resume): step 0, zero Adam moments
+            assert dst.step == 0
+            mu = jax.device_get(dst.opt_state)
+            flat = jax.tree_util.tree_leaves(mu)
+            assert all(float(np.abs(np.asarray(l)).max()) == 0.0 for l in flat)
+            # and fine-tuning proceeds from there
+            m = dst.train_on_batch(imgs, labs)
+            assert np.isfinite(m["loss"])
+
+    def test_wrong_model_npz_raises(self, tmp_path):
+        def other_model(s, x):
+            x = L.conv2d(s, x, 4, 3, activation="relu")
+            return L.conv2d(s, x, 2, 1, activation="softmax")
+
+        cfg = TrainConfig(batch_size=8, epochs=1, warmup_epochs=1, image_size=32)
+        src = Trainer(other_model, cfg, steps_per_epoch=1)
+        path = str(tmp_path / "other.npz")
+        src.save(path)
+        dst = self._trainer()
+        with pytest.raises(ValueError, match="does not match model"):
+            dst.load_weights(path)
+
+
 class TestTrainer:
     def make_data(self, n=8, hw=32, seed=0):
         rng = np.random.RandomState(seed)
