@@ -134,6 +134,20 @@ class TestTPTraining:
         m = tr2.train_on_batch(imgs, labs)
         assert np.isfinite(m["loss"])
 
+        # weights-only init (transfer learning) keeps TP shardings too
+        tr3 = Trainer(tiny_model, cfg, steps_per_epoch=2,
+                      mesh=pmesh.make_mesh(data=2, model=4), tp=True)
+        tr3.load_weights(path)
+        assert tr3.step == 0
+        sharded3 = [
+            k for k, v in tr3.params.items()
+            if MODEL_AXIS in str(getattr(v.sharding, "spec", ""))
+        ]
+        assert sharded3, "load_weights dropped the TP shardings"
+        pc = jax.device_get(tr3.params)
+        for k in pa:
+            np.testing.assert_array_equal(pa[k], pc[k], err_msg=k)
+
 
 class TestCallbacks:
     def _data(self):
