@@ -60,8 +60,23 @@ def plan_tiles(height: int, width: int, cfg: TilerConfig = TilerConfig()) -> Til
     canvas_w, n_w = _axis_tiles(width, cfg)
     if not cfg.fix_nonsquare_bug:
         # Faithful replication of `predict.py:105-106`: both loops run over
-        # the height-derived count.
+        # the height-derived count.  On WIDE scenes that under-tiles (the
+        # right part of the canvas is never visited; replicated below).  On
+        # TALL scenes the extra column origins overrun the canvas width, the
+        # reference's numpy slicing hands the model a TRUNCATED tile
+        # (width ``overlap`` first, then empty) and the Keras zoo raises a
+        # decoder concat shape mismatch — verified against the real
+        # reference under tf_keras 2.21 (scse on a (1, 512, 152, 3) tile:
+        # ValueError).  The faithful replication of a crash is a crash.
         n_w = n_h
+        if n_w and (n_w - 1) * cfg.stride + cfg.tile > canvas_w:
+            raise ValueError(
+                f"fix_nonsquare_bug=False on a tall scene ({height}x{width}): "
+                "the reference's inner loop (predict.py:106) overruns the "
+                "canvas width, feeding the model truncated tiles — the "
+                "reference itself crashes here (decoder shape mismatch). "
+                "Use fix_nonsquare_bug=True for correct non-square tiling."
+            )
     origins = tuple(
         (i * cfg.stride, j * cfg.stride) for i in range(n_h) for j in range(n_w)
     )
@@ -77,7 +92,22 @@ def pad_scene(img: Array, plan: TilePlan) -> Array:
 
 
 def normalize(img: Array, cfg: TilerConfig = TilerConfig(), dtype=jnp.float32) -> Array:
-    """uint8 RGB -> float in [-1, 1] (`predict.py:93`)."""
+    """uint8 RGB -> float in [-1, 1] (`predict.py:93`).
+
+    The reference divides in numpy float64 and TF casts at the graph
+    boundary, so its models see ``f32(f64(v) / 127.5 - 1)``.  Computing
+    directly in f32 differs by 1 ulp for exactly half the uint8 range
+    (v = 64..191), which flips rare argmax ties (first caught by
+    ``scripts/pipeline_fuzz.py`` seed 22); uint8 inputs therefore go
+    through an exact 256-entry lookup table (one tiny gather per pixel,
+    negligible next to the convs).
+    """
+    if img.dtype == jnp.uint8:
+        lut = jnp.asarray(
+            np.arange(256, dtype=np.float64) / float(cfg.normalize_div) - 1.0,
+            dtype=dtype,
+        )
+        return jnp.take(lut, img.astype(jnp.int32))
     return img.astype(dtype) / cfg.normalize_div - 1.0
 
 

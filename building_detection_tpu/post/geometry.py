@@ -666,9 +666,11 @@ def min_area_rect(contour: np.ndarray) -> Tuple[Tuple[float, float], Tuple[float
     [-90, 0) (:func:`_cv2_angle`).  Fuzzed against cv2 over 30k adversarial
     contours (grids, 4000px coords, 3px strips, collinear sets): every angle
     and corner phase identical; center/size bit-equal in 99.75% of cases,
-    the rest <=1 ulp apart on exact-area ties (cv2's compiled code contracts
-    some f32 ops to FMA, unreproducible portably; documented in
-    docs/QUIRKS.md).  Feeds ``box_points`` in ``small_target``'s fallback
+    the rest ~1 ulp apart on exact-area ties, where cv2's compiled binary
+    picks a different equal-area caliper support sequence (verified by
+    exhausting every FMA-contraction variant of the published algorithm:
+    none reproduces it — build-dependent, unreproducible portably;
+    documented in docs/QUIRKS.md).  Feeds ``box_points`` in ``small_target``'s fallback
     (`edge_3.py:282-285`)."""
     f = np.float32
     hull = convex_hull_cv2(contour, clockwise=False)

@@ -3,6 +3,7 @@ reference hot loop (`/root/reference/predict.py:90-116`)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from building_detection_tpu.core import module as M
 from building_detection_tpu.core.config import TilerConfig
@@ -111,6 +112,22 @@ class TestLegacyNonSquareReplication:
         expected = np.where(acc >= 1, 255, 0).astype(np.uint8)[:h, :w]
 
         np.testing.assert_array_equal(pred.predict_mask(img), expected)
+
+    def test_tall_scene_raises_like_reference(self):
+        """On TALL scenes the reference's overrunning inner loop feeds the
+        model numpy-TRUNCATED tiles (first one ``overlap`` wide, then empty)
+        and the Keras zoo crashes with a decoder concat shape mismatch
+        (verified against the real reference under tf_keras 2.21).  The
+        faithful replication of a crash is a loud error, not a silent
+        origin clamp."""
+        cfg = TilerConfig(tile=32, stride=24, overlap=8, fix_nonsquare_bug=False)
+        with pytest.raises(ValueError, match="tall scene"):
+            T.plan_tiles(81, 40, cfg)
+        # wide and square scenes still plan (wide = replicated under-tiling)
+        assert T.plan_tiles(40, 81, cfg).num_tiles > 0
+        assert T.plan_tiles(81, 81, cfg).num_tiles > 0
+        # width <= overlap with a single tile row fits the min-size canvas
+        assert T.plan_tiles(30, 6, cfg).num_tiles == 1
 
 
 class TestBucketedPrograms:
