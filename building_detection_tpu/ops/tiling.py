@@ -96,18 +96,29 @@ def normalize(img: Array, cfg: TilerConfig = TilerConfig(), dtype=jnp.float32) -
 
     The reference divides in numpy float64 and TF casts at the graph
     boundary, so its models see ``f32(f64(v) / 127.5 - 1)``.  Computing
-    directly in f32 differs by 1 ulp for exactly half the uint8 range
-    (v = 64..191), which flips rare argmax ties (first caught by
-    ``scripts/pipeline_fuzz.py`` seed 22); uint8 inputs therefore go
-    through an exact 256-entry lookup table (one tiny gather per pixel,
-    negligible next to the convs).
+    ``x/127.5 - 1`` directly in f32 differs by 1 ulp for exactly half the
+    uint8 range (v = 64..191), which flips rare argmax ties (first caught
+    by ``scripts/pipeline_fuzz.py`` seed 22).  Instead: ``v - 127.5`` is
+    EXACT for every uint8 v (a multiple of 0.5 with magnitude <= 127.5),
+    so the correctly-rounded quotient ``(v - 127.5) / 127.5`` equals the
+    reference's f64-then-cast result on all 256 values.  Two portability
+    traps force the Newton form below: XLA's simplifier rewrites
+    divide-by-constant into multiply-by-reciprocal (1 ulp off; blocked
+    with an optimization_barrier), and the TPU VPU's native f32 divide is
+    itself reciprocal-based (~1 ulp low even for exact quotients like
+    -127.5/127.5).  One Newton correction on the reciprocal multiply is
+    verified bit-exact over all 256 values on BOTH the TPU chip and CPU
+    XLA — 4 cheap vector ops/pixel.  (A 256-entry LUT gather was also
+    exact but cost ~18% ensemble throughput: per-pixel gathers are slow
+    on TPU.)
     """
-    if img.dtype == jnp.uint8:
-        lut = jnp.asarray(
-            np.arange(256, dtype=np.float64) / float(cfg.normalize_div) - 1.0,
-            dtype=dtype,
-        )
-        return jnp.take(lut, img.astype(jnp.int32))
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        d = jnp.float32(cfg.normalize_div)
+        num = img.astype(jnp.float32) - d
+        r = lax.optimization_barrier(jnp.float32(1.0) / d)
+        q0 = num * r
+        out = q0 + (num - q0 * d) * r
+        return out.astype(dtype)
     return img.astype(dtype) / cfg.normalize_div - 1.0
 
 

@@ -5,6 +5,7 @@ including degenerate small scenes, and document the fixed non-square behaviour.
 """
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -81,6 +82,18 @@ class TestDeviceOps:
         img = jnp.asarray([[[0, 127, 255]]], jnp.uint8)
         out = np.asarray(T.normalize(img))
         np.testing.assert_allclose(out, [[[-1.0, 127 / 127.5 - 1, 255 / 127.5 - 1]]], rtol=1e-6)
+
+    def test_normalize_reference_f64_exact(self):
+        """The reference normalizes in numpy f64 and TF casts to f32 at the
+        graph boundary (`predict.py:93`); plain f32 arithmetic is 1 ulp off
+        for v=64..191 and flips rare argmax ties.  normalize() must match
+        the f64-then-cast result bit-for-bit for EVERY uint8 value, under
+        jit (XLA's divide-by-constant -> reciprocal-multiply rewrite is one
+        of the ways this silently breaks; see the docstring)."""
+        u8 = jnp.arange(256, dtype=jnp.uint8)
+        want = (np.arange(256, dtype=np.float64) / 127.5 - 1).astype(np.float32)
+        got = np.asarray(jax.jit(T.normalize)(u8))
+        np.testing.assert_array_equal(got, want)
 
 
 class TestBucketPlan:
