@@ -32,7 +32,9 @@ class EpochVisualizer:
 
         from building_detection_tpu.core import module as M
 
-        x = jnp.asarray(self.image[None]).astype(jnp.float32) / 127.5 - 1.0
+        from building_detection_tpu.ops import tiling as T
+
+        x = T.normalize(jnp.asarray(self.image[None]))
         probs, _ = M.apply(trainer.model_fn, trainer.params, trainer.state, x)
         pred = (np.asarray(probs)[0].argmax(-1) * 255).astype(np.uint8)
 

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from building_detection_tpu.ops import tiling as T
+
 from building_detection_tpu.core import module as M
 from building_detection_tpu.core.config import TrainConfig
 from building_detection_tpu.models.registry import MODEL_REGISTRY
@@ -159,7 +161,7 @@ class Trainer:
 
         def train_step(params, state, opt_state, images_u8, labels_u8, step):
             images_u8, labels_u8 = maybe_augment(images_u8, labels_u8, step)
-            x = images_u8.astype(cdtype) / 127.5 - 1.0
+            x = T.normalize(images_u8, dtype=cdtype)
             y_true = make_targets(labels_u8, cfg, cfg.label_smooth)
 
             def losses(p):
@@ -189,7 +191,7 @@ class Trainer:
             return params, new_state, opt_state, metrics
 
         def eval_step(params, state, images_u8, labels_u8):
-            x = images_u8.astype(cdtype) / 127.5 - 1.0
+            x = T.normalize(images_u8, dtype=cdtype)
             y_true = make_targets(labels_u8, cfg, cfg.label_smooth)
             probs, _ = M.apply(model_fn, params, state, x, compute_dtype=cdtype)
             probs = probs.astype(jnp.float32)

@@ -75,18 +75,24 @@ def reference_loop(image_rgb, apply_fn, cfg=CFG, fix_nonsquare=True):
     """
     img = image_rgb / 127.5 - 1
     h, w = img.shape[:2]
+    # LOOP bounds use the UNCLAMPED padded size (empty for dims <= overlap);
+    # the CANVAS clamps to >= tile (`max(new_h, 512)`, predict.py:100-101).
+    # The distinction is visible in bug mode: h > overlap, w <= overlap
+    # still runs one height-derived tile column on the min-size canvas and
+    # yields a NONBLANK mask (seed 170 caught the old blank-out here).
     n_h = max(-(-(h - cfg.overlap) // cfg.stride), 0)
     n_w = max(-(-(w - cfg.overlap) // cfg.stride), 0)
-    if n_h == 0 or n_w == 0:
-        return np.zeros((h, w), np.uint8)  # degenerate: blank (QUIRKS.md)
+    inner_n = n_w if fix_nonsquare else n_h
+    if n_h == 0 or inner_n == 0:
+        return np.zeros((h, w), np.uint8)  # empty loop: blank (QUIRKS.md)
     new_h = max(n_h * cfg.stride + cfg.overlap, cfg.tile)
     new_w = max(n_w * cfg.stride + cfg.overlap, cfg.tile)
     tmp = np.zeros((new_h, new_w, 3))
     acc = np.zeros((new_h, new_w), np.int8)
     tmp[:h, :w] = img
-    inner = new_w if fix_nonsquare else new_h
-    for i in range(0, new_h - cfg.overlap, cfg.stride):
-        for j in range(0, inner - cfg.overlap, cfg.stride):
+    for ii in range(n_h):
+        for jj in range(inner_n):
+            i, j = ii * cfg.stride, jj * cfg.stride
             part = tmp[i : i + cfg.tile, j : j + cfg.tile][None].astype(np.float32)
             probs = np.asarray(apply_fn(jnp.asarray(part)))[0]
             acc[i : i + cfg.tile, j : j + cfg.tile] += probs.argmax(-1).astype(

@@ -11,7 +11,12 @@ real bug when the fuzz was first written —
   tiler used to clamp origins silently, now raises the faithful error;
 * seed 22: f32 normalization diverged 1 ulp from the reference's
   numpy-f64-then-cast semantics for half the uint8 range, flipping a
-  near-tie argmax pixel; normalize() now uses an exact 256-entry LUT.
+  near-tie argmax pixel; normalize() now reproduces it exactly (Newton
+  reciprocal correction, see ops/tiling.py);
+* seed 170: bug-mode scene with h > overlap but w <= overlap — the
+  reference's loop bounds use the UNCLAMPED padded size while its canvas
+  clamps to the tile size, so one height-derived tile still runs and the
+  mask is NONBLANK; the fuzz oracle (not the engine) blanked it out.
 
 The long-run sweep (hundreds of seeds) stays in scripts/; this keeps the
 suite time bounded.
@@ -41,6 +46,6 @@ def harness(tmp_path_factory):
     registry.MODEL_REGISTRY.update(saved)
 
 
-@pytest.mark.parametrize("seed", [9, 22, 0, 13])
+@pytest.mark.parametrize("seed", [9, 22, 170, 0])
 def test_glue_fuzz_seed(harness, seed):
     harness.one_iteration(seed)
