@@ -103,11 +103,12 @@ def reference_loop(image_rgb, apply_fn, cfg=CFG, fix_nonsquare=True):
 
 def _rings_match_ulp(ours, theirs) -> bool:
     """Fallback ring comparison: int rings must be exact; float
-    (minAreaRect-fallback) rings are allowed <=4 f32 ulps per coordinate —
-    cv2's compiled calipers can pick a different winning support sequence
-    on exact-area ties, shifting center/size by <=1 ulp which propagates
-    as an absolute offset (docs/QUIRKS.md; scripts/fuzz_parity.py seed
-    44766)."""
+    (minAreaRect-fallback) rings may be a cv2 equal-area caliper-tie case
+    — one shared policy with the fusion/polygon fuzz
+    (``fuzz_parity.float_ring_tie_ok``, <=TIE_MAX_ULP ulps/coordinate;
+    docs/QUIRKS.md; first seen at fuzz_parity seed 44766)."""
+    from fuzz_parity import float_ring_tie_ok
+
     if len(ours) != len(theirs):
         return False
     for (ox, oy), (tx, ty) in zip(ours, theirs):
@@ -117,13 +118,7 @@ def _rings_match_ulp(ours, theirs) -> bool:
             return False
         if np.array_equal(ga, wa):
             continue
-        if np.all(ga == np.round(ga)) and np.all(wa == np.round(wa)):
-            return False  # int ring: exactness required
-        ai = np.float32(ga).view(np.int32).astype(np.int64)
-        bi = np.float32(wa).view(np.int32).astype(np.int64)
-        ai = np.where(ai < 0, np.int64(-(2**31)) - ai, ai)
-        bi = np.where(bi < 0, np.int64(-(2**31)) - bi, bi)
-        if int(np.abs(ai - bi).max()) > 4:
+        if not float_ring_tie_ok(ga, wa):
             return False
     return True
 
@@ -231,11 +226,14 @@ class Harness:
         if bug:
             overruns = [_bug_overruns(*s.shape[:2]) for s in scenes]
             if any(overruns):
-                # tall scenes in bug mode must raise the faithful error
+                # tall scenes in bug mode must raise the faithful error —
+                # and specifically THAT error (any other ValueError from the
+                # glue is a bug this harness must not swallow)
                 try:
                     pipe.predict_images(scenes)
-                except ValueError:
-                    pass
+                except ValueError as e:
+                    if "tall scene" not in str(e):
+                        raise
                 else:
                     raise AssertionError(
                         f"seed={seed}: bug-mode tall scene did not raise"

@@ -93,11 +93,23 @@ def main():
         # cross-framework float differences flip argmax on ~1/1e6 pixels and
         # break pixel-exactness spuriously.  Scaling the logits widens the
         # margins by 30x on BOTH sides — the parity claim (same weights ->
-        # same masks) is unchanged.
+        # same masks) is unchanged.  BEFORE sharpening, re-center the class
+        # decision boundary (median logit difference on a probe scene) in
+        # the shared weights: random init collapses to one class nearly
+        # everywhere, the 3-of-5 vote then fuses to an EMPTY mask and the
+        # corner-txt comparison is vacuous (rings=0); centered masks are
+        # ~50% blobs, the vote yields real components and the polygon leg
+        # compares actual rings.
+        probe = synthetic_scene(np.random.RandomState(123), 512, 512)
+        xp = ((probe / 127.5) - 1.0).astype(np.float32)[None]
+        p = np.clip(model.predict(xp, verbose=0)[0], 1e-9, 1.0)
+        m = float(np.median(np.log(p[..., 1]) - np.log(p[..., 0])))
         for layer in reversed(model.layers):
             ws = layer.get_weights()
             if ws:
-                layer.set_weights([w * 30.0 for w in ws])
+                kernel, bias = ws
+                bias = bias - np.array([0.0, m], bias.dtype)
+                layer.set_weights([kernel * 30.0, bias * 30.0])
                 break
         model.save_weights(h5s[name])
         models[name] = model
@@ -114,7 +126,10 @@ def main():
 
     ref_results = []
     for scene in scenes:
-        norm = scene[..., :].astype(np.float32) / 127.5 - 1.0
+        # the reference normalizes in numpy f64 and TF casts at the graph
+        # boundary (`predict.py:93`); f32 arithmetic here would be 1 ulp off
+        # for half the uint8 range and flip near-tie argmax pixels
+        norm = (scene[..., :] / 127.5 - 1.0).astype(np.float32)
         per_model, margins = {}, {}
         for n in names:
             per_model[n], margins[n] = reference_detection(
@@ -166,8 +181,17 @@ def main():
             for i, (xs, ys) in enumerate(ref_points)
         }
         same = ours == theirs
+        if not same:
+            # float (minAreaRect-fallback) rings may be a cv2 equal-area
+            # caliper-tie case — one shared policy with the fuzzes
+            from pipeline_fuzz import _rings_match_ulp
+
+            same = _rings_match_ulp(res.corners, ref_points)
+            if same:
+                print(f"{scene.shape[:2]} points: caliper-tie ulp case accepted")
         print(f"{scene.shape[:2]} points: rings={len(ours)} identical={same}")
         ok &= same
+        ok &= len(ours) > 0  # the polygon leg must compare REAL rings
     print("E2E PARITY:", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

@@ -36,14 +36,19 @@ import pipeline_fuzz  # noqa: E402
 @pytest.fixture(scope="module")
 def harness(tmp_path_factory):
     # Harness swaps the zoo entries in MODEL_REGISTRY for tiny models;
-    # snapshot and restore so later test modules see the real zoo.
+    # snapshot and restore so later test modules see the real zoo.  The
+    # restore must run even if Harness.__init__ raises midway (it mutates
+    # the registry BEFORE anything can fail), so try/finally around the
+    # yield is not enough — the construction itself sits inside the try.
     from building_detection_tpu.models import registry
 
     saved = dict(registry.MODEL_REGISTRY)
-    wd = tmp_path_factory.mktemp("fuzz_weights")
-    yield pipeline_fuzz.Harness(str(wd))
-    registry.MODEL_REGISTRY.clear()
-    registry.MODEL_REGISTRY.update(saved)
+    try:
+        wd = tmp_path_factory.mktemp("fuzz_weights")
+        yield pipeline_fuzz.Harness(str(wd))
+    finally:
+        registry.MODEL_REGISTRY.clear()
+        registry.MODEL_REGISTRY.update(saved)
 
 
 @pytest.mark.parametrize("seed", [9, 22, 170, 0])
