@@ -47,7 +47,7 @@ PEAK_FLOPS = float(os.environ.get("BDT_PEAK_FLOPS", "197e12"))
 
 
 def wait_for_backend(
-    attempts: int = 20, probe_timeout: float = 90.0, sleep_s: float = 60.0
+    attempts: int = 12, probe_timeout: float = 90.0, sleep_s: float = 60.0
 ) -> None:
     """Gate on TPU-backend health before touching jax in THIS process.
 
@@ -55,8 +55,9 @@ def wait_for_backend(
     fast ("Unable to initialize backend 'axon'") or hangs indefinitely.
     Probing in a SUBPROCESS with a timeout handles both failure modes —
     the parent only initializes its own (cached-for-life) backend once a
-    probe has succeeded.  Bounded at ~20 min so a dead tunnel still fails
-    loudly rather than wedging the driver."""
+    probe has succeeded.  Worst case (every probe hangs the full timeout)
+    is ``attempts * (probe_timeout + sleep_s) - sleep_s`` ~= 29 min, so a
+    dead tunnel still fails loudly rather than wedging the driver."""
     import subprocess
 
     for i in range(attempts):
@@ -75,7 +76,8 @@ def wait_for_backend(
             reason = f"probe hung >{probe_timeout:.0f}s"
         print(f"# backend probe {i + 1}/{attempts} failed: {reason}",
               file=sys.stderr, flush=True)
-        time.sleep(sleep_s)
+        if i + 1 < attempts:  # no dead sleep before the final raise
+            time.sleep(sleep_s)
     raise RuntimeError("TPU backend unavailable after all probes")
 
 

@@ -64,27 +64,13 @@ def main(argv=None) -> int:
         loaded_params, loaded_state, _, _, _ = ckpt.load_variables(args.src)
         # structural check against the named model, so a wrong-model npz
         # fails loudly here instead of producing an unloadable .h5
-        import numpy as np
-
-        for kind, theirs, ours in (
-            ("params", loaded_params, params),
-            ("state", loaded_state, state),
-        ):
-            if set(theirs) != set(ours):
-                missing = sorted(set(ours) - set(theirs))[:3]
-                extra = sorted(set(theirs) - set(ours))[:3]
-                raise SystemExit(
-                    f"{args.src} does not match model {args.model!r} "
-                    f"({kind} keys differ; missing e.g. {missing}, "
-                    f"unexpected e.g. {extra})"
-                )
-            for k in ours:
-                if tuple(np.shape(theirs[k])) != tuple(np.shape(ours[k])):
-                    raise SystemExit(
-                        f"{args.src}: {kind}[{k!r}] shape "
-                        f"{tuple(np.shape(theirs[k]))} != model's "
-                        f"{tuple(np.shape(ours[k]))}"
-                    )
+        try:
+            # shapes only — no device fetch of the template weights
+            ckpt.check_matches_model(
+                args.src, loaded_params, loaded_state, params, state, args.model
+            )
+        except ValueError as e:
+            raise SystemExit(str(e))
         ckpt.export_h5_weights(args.dst, loaded_params, loaded_state)
     print(f"[convert] wrote {args.dst}")
     return 0

@@ -44,22 +44,13 @@ def main(argv=None) -> int:
     pairs = list_pairs(args.images, args.labels)
     steps = max(len(pairs) // args.batch_size, 1)
     cfg = TrainConfig(batch_size=args.batch_size, image_size=args.image_size)
-    import math
-
-    import jax
-
     from building_detection_tpu.parallel.mesh import make_mesh
 
-    data = args.data_parallel
-    if data == -1:
-        # the batch must divide the data axis; an 8-device host evaluating
-        # batch 2 shards 2 ways, not 8 (regression: tests/test_cli.py)
-        data = math.gcd(args.batch_size, jax.device_count())
     trainer = Trainer(
         args.model,
         cfg,
         steps_per_epoch=steps,
-        mesh=make_mesh(data=data),
+        mesh=make_mesh(data=args.data_parallel, batch_size=args.batch_size),
         compute_dtype=jnp.bfloat16 if args.precision == "bf16" else jnp.float32,
     )
     trainer.restore(args.checkpoint)

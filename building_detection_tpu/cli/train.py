@@ -71,20 +71,11 @@ def main(argv=None) -> int:
     train_pairs = list_pairs(args.train_images, args.train_labels)
     print(f"training samples: {len(train_pairs)}")
     steps = max(len(train_pairs) // cfg.batch_size, 1)
-    data = args.data_parallel
-    if data == -1:
-        # the batch must divide the data axis (batch 2 on an 8-device host
-        # shards 2 ways, not 8 — same rule as bdt-eval)
-        import math
-
-        import jax
-
-        data = math.gcd(cfg.batch_size, jax.device_count())
     trainer = Trainer(
         args.model,
         cfg,
         steps_per_epoch=steps,
-        mesh=make_mesh(data=data),
+        mesh=make_mesh(data=args.data_parallel, batch_size=cfg.batch_size),
         compute_dtype=jnp.bfloat16 if args.precision == "bf16" else jnp.float32,
         augment=args.augment_seed is not None,
         augment_seed=args.augment_seed or 0,

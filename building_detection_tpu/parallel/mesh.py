@@ -9,6 +9,7 @@ collectives — no custom transport.  Axes:
 """
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 import jax
@@ -20,12 +21,20 @@ MODEL_AXIS = "model"
 
 
 def make_mesh(
-    data: int = -1, model: int = 1, devices: Optional[Sequence] = None
+    data: int = -1, model: int = 1, devices: Optional[Sequence] = None,
+    batch_size: Optional[int] = None,
 ) -> Mesh:
-    """Mesh over the available devices; ``data=-1`` uses all of them."""
+    """Mesh over the available devices; ``data=-1`` uses all of them.
+
+    ``batch_size`` (only consulted when ``data=-1``) caps the data axis at
+    ``gcd(batch_size, devices)`` so the batch always divides it — an
+    8-device host training batch 2 shards 2 ways, not 8 (the shared rule of
+    bdt-train/bdt-eval, regression-tested in tests/test_cli.py)."""
     devices = list(devices if devices is not None else jax.devices())
     if data == -1:
         data = len(devices) // model
+        if batch_size is not None:
+            data = math.gcd(batch_size, data)
     if data * model != len(devices):
         devices = devices[: data * model]
     arr = np.array(devices).reshape(data, model)

@@ -85,6 +85,35 @@ def load_variables(
     return params, state, opt_state, step, meta
 
 
+def check_matches_model(
+    path: str, loaded_params: dict, loaded_state: dict,
+    template_params: dict, template_state: dict, model_name: str,
+) -> None:
+    """Loud structural check of loaded variables against a model's template:
+    key sets and per-key shapes must match exactly, so a wrong-model ``.npz``
+    fails here instead of half-applying (trainer) or producing an unloadable
+    ``.h5`` (bdt-convert).  Raises ``ValueError`` naming the first mismatch."""
+    for kind, theirs, ours in (
+        ("params", loaded_params, template_params),
+        ("state", loaded_state, template_state),
+    ):
+        if set(theirs) != set(ours):
+            missing = sorted(set(ours) - set(theirs))[:3]
+            extra = sorted(set(theirs) - set(ours))[:3]
+            raise ValueError(
+                f"{path} does not match model {model_name!r} "
+                f"({kind} keys differ; missing e.g. {missing}, "
+                f"unexpected e.g. {extra})"
+            )
+        for k in ours:
+            if tuple(np.shape(theirs[k])) != tuple(np.shape(ours[k])):
+                raise ValueError(
+                    f"{path}: {kind}[{k!r}] shape "
+                    f"{tuple(np.shape(theirs[k]))} != model's "
+                    f"{tuple(np.shape(ours[k]))}"
+                )
+
+
 # ---------------------------------------------------------------------------
 # Keras .h5 import/export (weight parity with reference checkpoints)
 # ---------------------------------------------------------------------------

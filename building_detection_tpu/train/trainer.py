@@ -278,9 +278,10 @@ class Trainer:
     # -- single steps ------------------------------------------------------
     def train_on_batch(self, images_u8, labels_u8, fetch_metrics: bool = True):
         """One optimizer step.  ``fetch_metrics=False`` returns the metrics
-        as device arrays WITHOUT synchronising — the reference harness (and
-        round 1 of this rebuild) blocked on a metrics read every step, which
-        serialises host transfers against compute (`res34.py:673-678`).
+        as device arrays WITHOUT synchronising (each carrying the length-1
+        steps axis) — the reference harness (and round 1 of this rebuild)
+        blocked on a metrics read every step, which serialises host
+        transfers against compute (`res34.py:673-678`).
 
         Runs through the SAME compiled scan body as :meth:`train_epoch_staged`
         (a length-1 steps axis), not a standalone step program.  XLA compiles
@@ -297,6 +298,13 @@ class Trainer:
             imgs5, labs4 = images_u8, labels_u8
             if imgs5.ndim == 4:  # un-staged device arrays (compat path)
                 imgs5, labs4 = imgs5[None], labs4[None]
+            elif imgs5.shape[0] != 1:
+                # a multi-step staged array would scan all k steps but
+                # advance self.step (LR schedule, augment key) by only 1
+                raise ValueError(
+                    f"train_on_batch takes ONE batch (got a staged array of "
+                    f"{imgs5.shape[0]} steps — use train_epoch_staged)"
+                )
         else:
             imgs5 = jax.device_put(
                 np.asarray(images_u8)[None], pmesh.staged_sharded(self.mesh, 5)
@@ -313,9 +321,11 @@ class Trainer:
             return {
                 k: float(np.asarray(v).ravel()[0]) for k, v in metrics.items()
             }
-        # drop the length-1 steps axis (async slice, no sync) so deferred
-        # metrics keep their scalar contract
-        return {k: v[0] for k, v in metrics.items()}
+        # Deferred metrics keep the length-1 steps axis: slicing it off here
+        # would dispatch one tiny eager program per metric per step — on the
+        # tunneled backend eager ops serialise one-at-a-time (CLAUDE.md), so
+        # the caller slices AFTER its single epoch-end device_get (see fit()).
+        return metrics
 
     def eval_on_batch(self, images_u8, labels_u8) -> Dict[str, float]:
         batch = pmesh.shard_batch((images_u8, labels_u8), self.mesh)
@@ -603,25 +613,9 @@ class Trainer:
         else:
             params, state, _, _, _ = ckpt.load_variables(path)
             # loud structural check: a wrong-model npz must not half-apply
-            for name, theirs, ours in (
-                ("params", params, host_params),
-                ("state", state, host_state),
-            ):
-                if set(theirs) != set(ours):
-                    missing = sorted(set(ours) - set(theirs))[:3]
-                    extra = sorted(set(theirs) - set(ours))[:3]
-                    raise ValueError(
-                        f"{path} does not match model {self.model_name!r} "
-                        f"({name} keys differ; missing e.g. {missing}, "
-                        f"unexpected e.g. {extra})"
-                    )
-                for k in ours:
-                    if tuple(np.shape(theirs[k])) != tuple(np.shape(ours[k])):
-                        raise ValueError(
-                            f"{path}: {name}[{k!r}] shape "
-                            f"{tuple(np.shape(theirs[k]))} != model's "
-                            f"{tuple(np.shape(ours[k]))}"
-                        )
+            ckpt.check_matches_model(
+                path, params, state, host_params, host_state, self.model_name
+            )
         self._place_weights(params, state)
 
     def _place_weights(self, params, state) -> None:
@@ -663,3 +657,24 @@ class Trainer:
             else:
                 self.opt_state = pmesh.replicate(opt_state, self.mesh)
         self.step = step
+        # Resume the persisted fit history alongside the weights: without
+        # this, the first checkpoint of a resumed run rewrites history.json
+        # from an empty in-memory list, destroying the pre-crash record the
+        # file exists to preserve.  Truncate to the epochs the restored
+        # checkpoint had actually completed (from its epoch_N filename when
+        # present) so restoring an OLDER epoch drops the stale tail.
+        hist_path = os.path.join(os.path.dirname(path) or ".", "history.json")
+        if os.path.exists(hist_path):
+            import json
+            import re
+
+            with open(hist_path) as f:
+                hist = json.load(f)
+            m = re.search(r"epoch_(\d+)_weights", os.path.basename(path))
+            if m:
+                done = int(m.group(1))
+            elif self.steps_per_epoch:
+                done = step // self.steps_per_epoch
+            else:
+                done = len(hist)
+            self.history = hist[:done]

@@ -80,13 +80,18 @@ def main() -> int:
         # so near-tie argmax pixels flip between the 49-tile and 16-tile
         # programs — the documented numerics quirk (docs/QUIRKS.md), at
         # its worst here because random-init models on noise sit near
-        # margin 0 everywhere (measured: scse 3.8% of pixels at bf16,
-        # 0.08% at f32; res34 0.03% / 0.01%).  The chip sanity therefore
-        # asserts (a) the blocked path is self-DETERMINISTIC bit-exactly,
-        # and (b) whole-vs-blocked diffs stay far below what a real
-        # stitching bug produces (an un-dispatched tile alone is ~5% of
-        # this scene; the round-3 grouping bug was caught at 1218 px of a
-        # 8000-px scene, 15%).
+        # margin 0 everywhere (measured: scse up to 3.8% of pixels at
+        # bf16, 0.08% at f32; res34 0.03% / 0.01%).  The chip sanity
+        # therefore asserts (a) the blocked path is self-DETERMINISTIC
+        # bit-exactly, and (b) no tile-sized window of the whole-vs-blocked
+        # diff is DENSE: tie flips scatter spatially (a few % anywhere),
+        # while the stitching-bug class — a tile never dispatched, OR'd at
+        # the wrong origin, or the round-3 grouping bug (its 1218 divergent
+        # px were one un-dispatched tile region) — concentrates most of a
+        # window's foreground into the diff.  A global diff fraction can't
+        # separate those (one missing 512-tile of a 2648^2 scene is < 4%
+        # of pixels, below scse's measured tie noise); per-window density
+        # can.
         scene = rng.randint(0, 256, (2648, 2648, 3), np.uint8)
         t0 = time.perf_counter()
         whole = pipe.ensemble.predict_masks(scene)
@@ -98,21 +103,30 @@ def main() -> int:
         blocked2 = predict_masks_blocked(
             pipe.ensemble, scene, max_block_tiles=16)
         det = all(np.array_equal(blocked[k], blocked2[k]) for k in blocked)
-        total = scene.shape[0] * scene.shape[1]
-        worst = max(
-            int((whole[k] != blocked[k]).sum()) / total for k in whole
-        )
+        tile = pipe.cfg.tiler.tile
+        stride = pipe.cfg.tiler.stride
+        worst_win = 0.0
+        for k in whole:
+            diff = whole[k] != blocked[k]
+            h, w = diff.shape
+            for i in range(0, max(h - tile, 0) + 1, stride):
+                for j in range(0, max(w - tile, 0) + 1, stride):
+                    d = float(diff[i:i + tile, j:j + tile].mean())
+                    worst_win = max(worst_win, d)
         print(
             f"sanity 2648^2 (49 tiles): unblocked {t_whole:.1f}s, "
             f"blocked(16/block) {t_blocked:.1f}s, deterministic={det}, "
-            f"worst whole-vs-blocked diff {worst:.2%} (near-tie flips)",
+            f"worst whole-vs-blocked tile-window diff density "
+            f"{worst_win:.2%} (near-tie flips scatter; a stitching bug "
+            f"concentrates)",
             flush=True,
         )
         if not det:
             print("FAIL: blocked path nondeterministic on chip")
             return 1
-        if worst > 0.05:
-            print("FAIL: whole-vs-blocked divergence beyond tie-flip scale")
+        if worst_win > 0.20:
+            print("FAIL: dense localized whole-vs-blocked divergence "
+                  "(stitching-bug scale, not tie flips)")
             return 1
 
     size = args.size

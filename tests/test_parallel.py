@@ -23,6 +23,19 @@ def tiny_model(s, x):
     return L.conv2d(s, x, 2, 3, activation="softmax")
 
 
+class TestMakeMesh:
+    def test_batch_size_caps_data_axis(self):
+        """data=-1 with a batch hint shards gcd(batch, devices) ways — the
+        one rule shared by bdt-train/bdt-eval (a batch of 2 on an 8-device
+        host must shard 2 ways, not 8)."""
+        assert jax.device_count() >= 8
+        assert pmesh.make_mesh(data=-1, batch_size=2).shape["data"] == 2
+        assert pmesh.make_mesh(data=-1, batch_size=8).shape["data"] == 8
+        assert pmesh.make_mesh(data=-1, batch_size=12).shape["data"] == 4
+        # explicit data wins; the hint only resolves -1
+        assert pmesh.make_mesh(data=4, batch_size=2).shape["data"] == 4
+
+
 class TestShardedInference:
     def test_matches_single_device(self):
         assert jax.device_count() >= 8

@@ -295,7 +295,9 @@ class TestTrainer:
         assert m_new["loss"] == pytest.approx(m_ref["loss"], rel=1e-5)
 
     def test_deferred_metrics_match_fetched(self):
-        """fetch_metrics=False returns the same numbers, just unfetched."""
+        """fetch_metrics=False returns the same numbers, just unfetched —
+        keeping the length-1 steps axis so no per-step eager slice programs
+        are dispatched (glacial on the tunneled backend, CLAUDE.md)."""
         imgs, labs = self.make_data()
         tr_a = self.make_trainer()
         tr_b = self.make_trainer()
@@ -303,7 +305,56 @@ class TestTrainer:
             ma = tr_a.train_on_batch(imgs, labs)
             mb = tr_b.train_on_batch(imgs, labs, fetch_metrics=False)
             for k, v in ma.items():
-                assert float(mb[k]) == pytest.approx(v, rel=1e-6)
+                assert mb[k].shape == (1,)
+                assert float(np.asarray(mb[k]).ravel()[0]) == pytest.approx(
+                    v, rel=1e-6
+                )
+
+    def test_train_on_batch_rejects_multistep_staged(self):
+        """A staged (k>1, B, ...) array scans k optimizer steps but would
+        advance self.step (LR schedule, augment key) by only 1 — must raise,
+        directing to train_epoch_staged."""
+        imgs, labs = self.make_data(n=16)
+        tr = self.make_trainer()
+        imgs5, labs4 = tr.stage_dataset(imgs, labs)
+        assert imgs5.shape[0] == 2
+        with pytest.raises(ValueError, match="train_epoch_staged"):
+            tr.train_on_batch(imgs5, labs4)
+
+    def test_restore_resumes_history(self, tmp_path):
+        """history.json survives resume: the first checkpoint of a resumed
+        run must append to the persisted record, not rewrite it from an
+        empty list (round-3 review finding)."""
+        import json
+
+        imgs, labs = self.make_data(n=8)
+        ckdir = str(tmp_path / "weights")
+        os.makedirs(ckdir)
+        tr = self.make_trainer()
+
+        def it():
+            while True:
+                yield imgs, labs
+
+        hist = tr.fit(it(), checkpoint_dir=ckdir, log_fn=lambda s: None)
+        n_epochs = len(hist)
+        assert n_epochs == tr.cfg.epochs
+
+        tr2 = self.make_trainer()
+        tr2.restore(os.path.join(ckdir, f"epoch_{n_epochs}_weights.npz"))
+        assert [h["loss"] for h in tr2.history] == [h["loss"] for h in hist]
+        tr2.fit(it(), checkpoint_dir=ckdir, log_fn=lambda s: None)
+        with open(os.path.join(ckdir, "history.json")) as f:
+            persisted = json.load(f)
+        assert len(persisted) == 2 * n_epochs  # old record + resumed epochs
+        assert [h["loss"] for h in persisted[:n_epochs]] == [
+            h["loss"] for h in hist
+        ]
+
+        # restoring an OLDER epoch drops the stale tail of the record
+        tr3 = self.make_trainer()
+        tr3.restore(os.path.join(ckdir, "epoch_1_weights.npz"))
+        assert len(tr3.history) == 1
 
     def test_staged_epoch_matches_stepwise(self):
         """The one-dispatch scan epoch must reproduce the step-by-step path:
