@@ -80,6 +80,63 @@ def batch_iterator(
         yield np.stack(imgs), np.stack(labs)
 
 
+def _threaded_pipe(iterator: Iterator, prepare, depth: int, name: str) -> Iterator:
+    """Background-thread pipeline: ``prepare(item)`` runs ``depth`` items
+    ahead of the consumer.
+
+    Two failure modes the naive queue loop gets wrong (round-3 review):
+
+    * an exception in the feeder (bad file, device_put failure) must
+      surface at the consumer's ``next()`` — not silently end iteration,
+      which ``Trainer.fit`` would see as a bare ``StopIteration`` hiding
+      the real error;
+    * a consumer that stops early (fit finished its epochs over an
+      infinite iterator, or raised) must release the worker — a plain
+      blocking ``q.put`` parks the thread forever on a full queue, pinning
+      up to ``depth`` prepared batches (device memory, for
+      :func:`device_prefetch`) for the life of the process.  Generator
+      close (explicit or via GC) sets ``done`` and the worker exits.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = object()
+    done = threading.Event()
+    err: list = []
+
+    def offer(x) -> bool:
+        while not done.is_set():
+            try:
+                q.put(x, timeout=0.2)
+                return True
+            except queue.Full:
+                pass
+        return False
+
+    def worker():
+        try:
+            for item in iterator:
+                if not offer(prepare(item)):
+                    return
+        except BaseException as e:  # re-raised at the consumer's next()
+            err.append(e)
+        finally:
+            offer(stop)
+
+    threading.Thread(target=worker, daemon=True, name=name).start()
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        done.set()
+
+
 def device_prefetch(
     iterator: Iterator, mesh, depth: int = 2, staged_steps: bool = False
 ) -> Iterator:
@@ -96,44 +153,26 @@ def device_prefetch(
     axis in the staged-epoch sharding — the layout ``train_on_batch``'s
     scan-body program consumes directly (no per-step device reshape).
     """
-    import queue
-    import threading
-
-    import numpy as _np
-
     from building_detection_tpu.parallel import mesh as pmesh
 
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
-    stop = object()
+    if staged_steps:
+        import jax
 
-    def worker():
-        try:
-            for item in iterator:
-                if staged_steps:
-                    import jax
+        def prepare(item):
+            imgs, labs = item
+            return (
+                jax.device_put(
+                    np.asarray(imgs)[None], pmesh.staged_sharded(mesh, 5)
+                ),
+                jax.device_put(
+                    np.asarray(labs)[None], pmesh.staged_sharded(mesh, 4)
+                ),
+            )
+    else:
+        def prepare(item):
+            return pmesh.shard_batch(item, mesh)
 
-                    imgs, labs = item
-                    q.put((
-                        jax.device_put(
-                            _np.asarray(imgs)[None],
-                            pmesh.staged_sharded(mesh, 5),
-                        ),
-                        jax.device_put(
-                            _np.asarray(labs)[None],
-                            pmesh.staged_sharded(mesh, 4),
-                        ),
-                    ))
-                else:
-                    q.put(pmesh.shard_batch(item, mesh))
-        finally:
-            q.put(stop)
-
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is stop:
-            return
-        yield item
+    return _threaded_pipe(iterator, prepare, depth, "bdt-device-prefetch")
 
 
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
@@ -143,22 +182,4 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     every train step, `res34.py:673-678`); wrapping :func:`batch_iterator`
     in ``prefetch`` keeps the host one-plus batches ahead.
     """
-    import queue
-    import threading
-
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
-    stop = object()
-
-    def worker():
-        try:
-            for item in iterator:
-                q.put(item)
-        finally:
-            q.put(stop)
-
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is stop:
-            return
-        yield item
+    return _threaded_pipe(iterator, lambda x: x, depth, "bdt-prefetch")

@@ -178,6 +178,50 @@ class TestPrefetch:
         for i, (a, b) in enumerate(out):
             assert a[0, 0] == i and b[0] == i
 
+    def test_feeder_exception_propagates(self):
+        """An error in the feeder thread must surface at the consumer's
+        next(), not silently end iteration (Trainer.fit would otherwise
+        die with a bare StopIteration hiding the real cause)."""
+        from building_detection_tpu.data.dataset import prefetch
+
+        def gen():
+            yield 1
+            raise OSError("corrupt file")
+
+        it = prefetch(gen(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(OSError, match="corrupt file"):
+            next(it)
+
+    def test_early_close_releases_worker(self):
+        """Closing the consumer (e.g. fit finishing its epochs over an
+        infinite iterator) must stop the feeder thread rather than leave it
+        parked on a full queue holding prepared batches."""
+        import threading
+        import time
+
+        from building_detection_tpu.data.dataset import prefetch
+
+        def infinite():
+            i = 0
+            while True:
+                yield i
+                i += 1
+
+        it = prefetch(infinite(), depth=2)
+        assert next(it) == 0
+        it.close()
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            if not any(
+                t.name == "bdt-prefetch" and t.is_alive()
+                for t in threading.enumerate()
+            ):
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError("feeder thread still alive after close()")
+
 
 class TestCopyPaste:
     """run_copy_paste: the instance-transplant step the reference describes
