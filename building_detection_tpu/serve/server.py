@@ -142,6 +142,13 @@ class _MicroBatcher:
                     results = self.pipeline.predict_images(
                         [j.image for j in jobs]
                     )
+                    if len(results) != len(jobs):
+                        # a silent zip truncation here would hand the
+                        # unpaired waiters result=None with no error
+                        raise RuntimeError(
+                            f"predict_images returned {len(results)} results "
+                            f"for {len(jobs)} scenes"
+                        )
                     for job, res in zip(jobs, results):
                         job.result = res
                 else:

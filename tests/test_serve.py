@@ -203,6 +203,46 @@ class TestMicroBatcher:
         assert len(calls) < 5
         assert any(c > 1 for c in calls)
 
+    def test_short_result_list_is_an_error_not_none(self):
+        """A pipeline returning fewer results than scenes must raise at every
+        waiter — not silently hand the unpaired ones ``None``."""
+        import concurrent.futures
+        import time
+
+        from building_detection_tpu.serve.server import _MicroBatcher
+
+        gate = threading.Event()      # releases the worker's first (solo) job
+        worker_busy = threading.Event()
+
+        class ShortPipeline:
+            def predict_image(self, image):  # solo batches take this path
+                worker_busy.set()
+                gate.wait(10)
+                return ("one", image.sum())
+
+            def predict_images(self, images):
+                return [("many", img.sum()) for img in images[:-1]]
+
+        batcher = _MicroBatcher(ShortPipeline())
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            decoy = ex.submit(batcher.predict, np.zeros((2, 2)))
+            # once the worker is parked inside the decoy's predict_image,
+            # the next three enqueue behind it and MUST drain as one batch
+            assert worker_busy.wait(10)
+            futs = [
+                ex.submit(batcher.predict, np.full((2, 2), i))
+                for i in range(3)
+            ]
+            time.sleep(0.2)  # let all three enqueue while the worker blocks
+            gate.set()
+            assert decoy.result(timeout=10)[0] == "one"
+            for f in futs:
+                exc = f.exception(timeout=10)
+                assert isinstance(exc, RuntimeError) and (
+                    "returned 2 results" in str(exc)
+                ), f"expected the short-results error, got {exc!r}"
+        batcher.close()
+
     def test_batch_error_propagates_to_all_waiters(self):
         from building_detection_tpu.serve.server import _MicroBatcher
 
