@@ -71,7 +71,14 @@ def main(argv=None) -> int:
             )
         except ValueError as e:
             raise SystemExit(str(e))
-        ckpt.export_h5_weights(args.dst, loaded_params, loaded_state)
+        from building_detection_tpu.models.registry import keras_layer_order
+
+        # canonical Keras depth-order so the reference's POSITIONAL
+        # model.load_weights accepts the file (see export_h5_weights)
+        ckpt.export_h5_weights(
+            args.dst, loaded_params, loaded_state,
+            layer_order=keras_layer_order(args.model),
+        )
     print(f"[convert] wrote {args.dst}")
     return 0
 

@@ -45,6 +45,36 @@ def get_model(name: str) -> ModelFn:
         ) from None
 
 
+def keras_layer_order(name: str) -> list:
+    """Canonical tf_keras ``model.layers`` order (weight-bearing subsequence)
+    for one zoo model, with fresh-process name counters.
+
+    Keras' positional ``model.load_weights(h5)`` pairs the file's layer
+    groups with ``model.layers`` BY POSITION, and for functional models that
+    order is graph depth order, not instantiation order (a residual block's
+    main-path convs enumerate before its shortcut conv).  Our pytrees are
+    keyed in instantiation order, so ``export_h5_weights`` needs this list to
+    write an ``.h5`` the UNMODIFIED reference stack (`predict.py:17-54`)
+    loads positionally.  Extracted once from the real reference models under
+    tf_keras 2.21 (``scripts/gen_keras_layer_order.py``) and checked in as
+    derived behavioral-contract data — the same category as the param
+    fingerprints in tests/test_models.py.
+    """
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "keras_layer_order.json")
+    with open(path) as f:
+        orders = json.load(f)
+    try:
+        return orders[name]
+    except KeyError:
+        raise ValueError(
+            f"no canonical Keras layer order for {name!r}; "
+            f"available: {sorted(orders)}"
+        ) from None
+
+
 def init_model(
     name: str,
     rng: jax.Array,

@@ -313,32 +313,59 @@ def import_h5_weights(
     return new_params, new_state, report
 
 
-def export_h5_weights(path: str, params: dict, state: dict) -> None:
+def export_h5_weights(
+    path: str, params: dict, state: dict, layer_order=None
+) -> None:
     """Write our pytrees as a Keras-layout weights-only ``.h5``.
 
     Reproduces what ``model.save_weights`` emits for the reference models
-    (the format `predict.py:17-54` consumes): root attr ``layer_names`` in
-    model.layers (= construction) order; per-layer group with a
-    ``weight_names`` attribute listing ``<layer>/<weight>:0`` paths,
-    trainable weights first then non-trainable (BN moving statistics) —
-    letting the importer's round-trip be exercised without TensorFlow.
+    (the format `predict.py:17-54` consumes): root attr ``layer_names``;
+    per-layer group with a ``weight_names`` attribute listing
+    ``<layer>/<weight>:0`` paths, trainable weights first then non-trainable
+    (BN moving statistics).
+
+    ``layer_order`` controls the group order.  Keras' positional
+    ``model.load_weights`` pairs file groups with ``model.layers`` BY
+    POSITION, and ``model.layers`` is graph depth order — NOT our pytrees'
+    instantiation order (residual shortcuts enumerate after their main
+    path).  Pass :func:`models.registry.keras_layer_order` for a zoo model
+    to produce a file the UNMODIFIED reference stack loads verbatim (proven
+    against real tf_keras in tests/test_tf_oracle.py).  Without it the file
+    keeps instantiation order — our own importer accepts either (name pass),
+    but Keras' positional load may not.
     """
     import h5py
 
     def layer_of(key):
         return key.rsplit("/", 1)[0]
 
-    # layer order = first appearance in construction-ordered params, then
-    # any state-only layers in state order
+    # default layer order = first appearance in construction-ordered params,
+    # then any state-only layers in state order
     layer_weights: Dict[str, list] = {}
     for key, arr in params.items():
         layer_weights.setdefault(layer_of(key), []).append((key, arr))
     for key, arr in state.items():
         layer_weights.setdefault(layer_of(key), []).append((key, arr))
+    if layer_order is not None:
+        ours, want = set(layer_weights), set(layer_order)
+        if ours != want:
+            missing = sorted(want - ours)[:5]
+            extra = sorted(ours - want)[:5]
+            raise ValueError(
+                "layer_order does not match the checkpoint's layers "
+                f"(missing from checkpoint: {missing}, "
+                f"not in layer_order: {extra})"
+            )
+        layer_weights = {ln: layer_weights[ln] for ln in layer_order}
 
     with h5py.File(path, "w") as f:
         f.attrs["layer_names"] = [ln.encode() for ln in layer_weights]
         f.attrs["backend"] = b"tensorflow"
+        # without a keras_version attr, tf_keras' loader routes the file
+        # through preprocess_weights_for_loading's KERAS-1 legacy path,
+        # which transposes Conv2DTranspose kernels (caught by the reverse
+        # probe in tests/test_tf_oracle.py); any 2.x value avoids it
+        f.attrs["keras_version"] = b"2.21.0"
         for lname, weights in layer_weights.items():
             g = f.create_group(lname)
             wnames = []

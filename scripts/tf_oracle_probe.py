@@ -1,11 +1,20 @@
-"""One-model TF-oracle parity probe: reference Keras weights -> our model.
+"""One-model TF-oracle parity probe: weight interchange in BOTH directions.
 
 Usage: python scripts/tf_oracle_probe.py <res34|scse|v3plus|bam|hrnet> [size]
 
-Builds the reference model verbatim under real tf_keras, saves its weights
+Forward direction (the reference's deployment path, `predict.py:17-54`):
+builds the reference model verbatim under real tf_keras, saves its weights
 .h5, strict-imports them into our JAX model, and compares the f32 forward on
-a fixed random input.  Run one model per process (Keras name counters are
-process-global).
+a fixed random input.
+
+Reverse direction (migrating BACK: train here, deploy into the existing TF
+stack): exports the same values through our ``export_h5_weights`` (the
+``bdt-convert`` writer), zeroes the live reference model, has REAL tf_keras
+``model.load_weights`` consume our file, and demands the TF forward return
+bit-identically — proving our .h5 layout/grouping/ordering is one Keras
+itself accepts, not merely one our own importer round-trips.
+
+Run one model per process (Keras name counters are process-global).
 """
 import os
 import sys
@@ -24,7 +33,8 @@ def main():
 
     import tensorflow as tf  # noqa: F401
 
-    h5 = tempfile.mktemp(suffix=f"_{name}.h5")
+    fd, h5 = tempfile.mkstemp(suffix=f"_{name}.h5")
+    os.close(fd)
     model = tf_oracle.export_reference_weights(name, h5)
     rng = np.random.RandomState(0)
     x = rng.uniform(-1, 1, (1, size, size, 3)).astype(np.float32)
@@ -60,7 +70,34 @@ def main():
         f"disagreements_above_margin={real_dis}"
     )
     assert md < 1e-4 and real_dis == 0, f"{name} FAILED"
-    print(f"{name}: PASS")
+
+    # -- reverse direction: real Keras loads OUR exported .h5 ---------------
+    from building_detection_tpu.models.registry import keras_layer_order
+
+    fd, h5_back = tempfile.mkstemp(suffix=f"_{name}_ours.h5")
+    os.close(fd)
+    ckpt.export_h5_weights(
+        h5_back,
+        {k: np.asarray(v) for k, v in params.items()},
+        {k: np.asarray(v) for k, v in state.items()},
+        layer_order=keras_layer_order(name),
+    )
+    # wipe the live model so a silent no-op load cannot pass (positive
+    # values keep BN moving variances valid)
+    rs = np.random.RandomState(1)
+    model.set_weights(
+        [rs.uniform(0.02, 0.2, w.shape).astype(w.dtype) for w in model.get_weights()]
+    )
+    wiped = model.predict(x, verbose=0)
+    # the wiped forward may be wildly different or even NaN — all that
+    # matters is that it is NOT the original, so a no-op load cannot pass
+    assert not np.array_equal(wiped, y_tf), "wipe did not change the model"
+    model.load_weights(h5_back)  # real tf_keras consuming OUR file
+    y_tf_back = model.predict(x, verbose=0)
+    back_md = float(np.abs(y_tf_back - y_tf).max())
+    print(f"{name}: reverse (tf_keras loads our .h5) max|diff|={back_md:.3e}")
+    assert back_md == 0.0, f"{name} reverse interchange FAILED"
+    print(f"{name}: PASS (forward + reverse)")
 
 
 if __name__ == "__main__":

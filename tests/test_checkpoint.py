@@ -333,3 +333,65 @@ class TestH5RoundTripZoo:
             np.testing.assert_array_equal(got_params[k], src_params[k])
         for k in src_state:
             np.testing.assert_array_equal(got_state[k], src_state[k])
+
+
+class TestKerasLayerOrder:
+    """The canonical-order export contract: tf_keras' POSITIONAL
+    ``model.load_weights`` pairs file groups with ``model.layers`` (graph
+    depth order), so ``export_h5_weights(layer_order=...)`` must write that
+    order and the checked-in orders must exactly cover each zoo model's
+    layers.  The real-TF acceptance (reverse direction, bit-identical
+    forward after Keras loads our file) runs in tests/test_tf_oracle.py."""
+
+    @pytest.mark.parametrize("name", ["res34", "hrnet", "v3plus", "scse", "bam"])
+    def test_order_covers_zoo_layers(self, name):
+        from building_detection_tpu.models.registry import (
+            init_model, keras_layer_order)
+
+        order = keras_layer_order(name)
+        assert len(order) == len(set(order))
+        params, state = init_model(name, jax.random.key(0), (1, 32, 32, 3))
+        ours = {k.rsplit("/", 1)[0] for k in list(params) + list(state)}
+        assert ours == set(order)
+
+    def test_export_writes_given_order_and_version(self, tmp_path):
+        from building_detection_tpu.models.registry import (
+            init_model, keras_layer_order)
+
+        params, state = init_model("scse", jax.random.key(0), (1, 32, 32, 3))
+        order = keras_layer_order("scse")
+        path = str(tmp_path / "ordered.h5")
+        ckpt.export_h5_weights(
+            path,
+            {k: np.asarray(v) for k, v in params.items()},
+            {k: np.asarray(v) for k, v in state.items()},
+            layer_order=order,
+        )
+        with h5py.File(path) as f:
+            got = [n.decode() if isinstance(n, bytes) else n
+                   for n in f.attrs["layer_names"]]
+            # without keras_version, tf_keras routes loads through the
+            # Keras-1 legacy path that transposes ConvTranspose kernels
+            assert f.attrs["keras_version"] in ("2.21.0", b"2.21.0")
+        assert got == order
+        # the default (instantiation) order differs -> the option matters
+        path2 = str(tmp_path / "default.h5")
+        ckpt.export_h5_weights(
+            path2,
+            {k: np.asarray(v) for k, v in params.items()},
+            {k: np.asarray(v) for k, v in state.items()},
+        )
+        with h5py.File(path2) as f:
+            default = [n.decode() if isinstance(n, bytes) else n
+                       for n in f.attrs["layer_names"]]
+        assert set(default) == set(order)
+
+    def test_export_rejects_mismatched_order(self, tmp_path):
+        params, state = init_small()
+        with pytest.raises(ValueError, match="layer_order"):
+            ckpt.export_h5_weights(
+                str(tmp_path / "bad.h5"),
+                {k: np.asarray(v) for k, v in params.items()},
+                {k: np.asarray(v) for k, v in state.items()},
+                layer_order=["not_a_layer"],
+            )

@@ -14,7 +14,13 @@ session shouldn't share a process) which:
    models' 62 SeparableConv2D kernels, `v3plus.py:185-280`);
 3. compares the f32 forward on a fixed 512x512 input: max|diff| < 1e-4 and
    zero argmax disagreements where TF's own class margin exceeds 1e-4
-   (at random init p sits near 0.5, so sub-float-error margins flip freely).
+   (at random init p sits near 0.5, so sub-float-error margins flip freely);
+4. runs the REVERSE direction: exports the same values through our
+   ``export_h5_weights`` (canonical Keras layer depth order +
+   ``keras_version`` attr), wipes the live Keras model, has real tf_keras
+   ``model.load_weights`` consume our file, and demands the TF forward
+   return BIT-identically — proving exported checkpoints deploy into the
+   unmodified reference stack (the migration path back).
 
 Measured parities (512x512, this machine): scse/v3plus 1.2e-7 (ulp-exact),
 hrnet 1.4e-6, res34 4.6e-5, bam 6e-5.  This replaces the self-referential
