@@ -339,6 +339,26 @@ def export_h5_weights(
     def layer_of(key):
         return key.rsplit("/", 1)[0]
 
+    # Keras' per-layer weight order is layer.weights = trainable then
+    # non-trainable, in the layer's own build order — NOT dict order.  A
+    # checkpoint that round-tripped through npz (np.savez sorts keys) would
+    # otherwise emit bias before kernel and Keras' POSITIONAL pairing inside
+    # each group would load the bias array into the kernel slot (caught live
+    # by scripts/train_deploy_demo.py; pinned in tests/test_checkpoint.py).
+    _KERAS_WEIGHT_RANK = {
+        "kernel": 0,
+        "depthwise_kernel": 0,
+        "pointwise_kernel": 1,
+        "gamma": 0,
+        "beta": 1,
+        "bias": 2,
+        "moving_mean": 3,
+        "moving_variance": 4,
+    }
+
+    def weight_rank(key):
+        return _KERAS_WEIGHT_RANK[key.rsplit("/", 1)[1]]
+
     # default layer order = first appearance in construction-ordered params,
     # then any state-only layers in state order
     layer_weights: Dict[str, list] = {}
@@ -346,6 +366,8 @@ def export_h5_weights(
         layer_weights.setdefault(layer_of(key), []).append((key, arr))
     for key, arr in state.items():
         layer_weights.setdefault(layer_of(key), []).append((key, arr))
+    for weights in layer_weights.values():
+        weights.sort(key=lambda kv: weight_rank(kv[0]))
     if layer_order is not None:
         ours, want = set(layer_weights), set(layer_order)
         if ours != want:

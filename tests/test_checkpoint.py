@@ -386,6 +386,48 @@ class TestKerasLayerOrder:
                        for n in f.attrs["layer_names"]]
         assert set(default) == set(order)
 
+    def test_export_weight_order_is_keras_not_dict_order(self, tmp_path):
+        """Keras pairs weights INSIDE each group positionally too: kernel
+        before bias, BN gamma/beta/moving_mean/moving_variance, separable
+        depthwise/pointwise/bias.  A checkpoint that round-tripped through
+        npz (np.savez sorts keys -> bias sorts before kernel) must still
+        export in Keras order — caught live by scripts/train_deploy_demo.py
+        when tf_keras loaded a trained npz's bias into the kernel slot."""
+        from building_detection_tpu.models.registry import init_model
+
+        params, state = init_model("v3plus", jax.random.key(0), (1, 32, 32, 3))
+        params = {k: np.asarray(v) for k, v in params.items()}
+        state = {k: np.asarray(v) for k, v in state.items()}
+        path = str(tmp_path / "sorted.h5")
+        # alphabetical key order, as np.load(npz) iteration yields
+        ckpt.export_h5_weights(
+            path,
+            dict(sorted(params.items())),
+            dict(sorted(state.items())),
+        )
+        rank = {"kernel": 0, "depthwise_kernel": 0, "pointwise_kernel": 1,
+                "gamma": 0, "beta": 1, "bias": 2,
+                "moving_mean": 3, "moving_variance": 4}
+        with h5py.File(path) as f:
+            names = [n.decode() if isinstance(n, bytes) else n
+                     for n in f.attrs["layer_names"]]
+            saw_bn = saw_sep = False
+            for ln in names:
+                wns = [w.decode() if isinstance(w, bytes) else w
+                       for w in f[ln].attrs["weight_names"]]
+                suffixes = [w.rsplit("/", 1)[1][:-2] for w in wns]
+                assert suffixes == sorted(suffixes, key=rank.__getitem__), (
+                    ln, suffixes)
+                if "moving_variance" in suffixes:
+                    saw_bn = True
+                    assert suffixes == ["gamma", "beta",
+                                        "moving_mean", "moving_variance"]
+                if "pointwise_kernel" in suffixes:
+                    saw_sep = True
+                    assert suffixes[:2] == ["depthwise_kernel",
+                                            "pointwise_kernel"]
+            assert saw_bn and saw_sep  # the orderings above were exercised
+
     def test_export_rejects_mismatched_order(self, tmp_path):
         params, state = init_small()
         with pytest.raises(ValueError, match="layer_order"):
