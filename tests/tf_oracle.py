@@ -19,6 +19,12 @@ import sys
 os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "")
+# oneDNN picks primitives by runtime thread availability and warns that
+# results vary with computation order — under a loaded box that makes the
+# oracle's forward nondeterministic run to run (res34's max|diff| vs JAX
+# measured 5.6e-5..>1e-4 across runs of IDENTICAL code). Disable it so the
+# oracle is a fixed point.
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
 
 REFERENCE_DIR = "/root/reference/predict_model"
 
@@ -62,6 +68,12 @@ def build_reference_model(name: str):
     of what the oracle tests exercise.
     """
     fname, builder = _BUILDERS[name]
+    # Keras initializers are unseeded: freshly drawn weights every run made
+    # parity thresholds a lottery (probe md drifted 5.6e-5..8.1e-5 across
+    # runs and once crossed 1e-4 in-suite). Pin the draw.
+    import tf_keras
+
+    tf_keras.utils.set_random_seed(0)
     return builder(_load_reference_module(fname))
 
 
