@@ -45,7 +45,8 @@ def extract_one(name: str) -> list:
 
     from tests import tf_oracle
 
-    h5 = tempfile.mktemp(suffix=f"_{name}.h5")
+    fd, h5 = tempfile.mkstemp(suffix=f"_{name}.h5")
+    os.close(fd)
     tf_oracle.export_reference_weights(name, h5)
     with h5py.File(h5) as f:
         names = [
