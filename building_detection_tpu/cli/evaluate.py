@@ -62,7 +62,10 @@ def main(argv=None) -> int:
         for k, v in m.items():
             agg[k] = agg.get(k, 0.0) + v
     agg = {k: round(v / steps, 6) for k, v in agg.items()}
-    agg["samples"] = len(pairs)
+    # whole batches only, like the reference's len//batch validation_steps
+    # (`res34.py:673-678`): the tail len%batch samples are not evaluated,
+    # so report the count actually seen, not the directory size
+    agg["samples"] = min(steps * args.batch_size, len(pairs))
     print(json.dumps(agg))
     return 0
 

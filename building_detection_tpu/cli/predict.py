@@ -59,6 +59,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="bucket program shapes so mixed scene sizes share compiled "
         "programs (bit-identical output)",
     )
+    p.add_argument(
+        "--chunk-scenes",
+        type=int,
+        default=16,
+        help="decode/predict/write this many scenes at a time: host memory "
+        "stays O(chunk) over arbitrarily large --image-dir runs (the "
+        "reference's file bus is O(1 image), predict.py:160-178) while "
+        "each chunk still fills grouped device dispatches; 0 = one chunk",
+    )
     return p
 
 
@@ -102,48 +111,65 @@ def main(argv=None) -> int:
 
     from building_detection_tpu.utils import io as uio
 
-    # decode everything, run device work pipelined, post-process per scene
-    arrays = [uio.imread_rgb(p) for p in images]
+    # the first scenes double as the int8 calibration set
+    calib = (
+        [uio.imread_rgb(p) for p in images[:2]] if args.int8 else None
+    )
     pipe = Pipeline(
         weights=weights, cfg=cfg, batch_tiles=args.batch_tiles,
         # 512 = min input channels: quantize only the large-K Xception
         # projections (every-site quantization raises peak HBM and loses
         # to bf16 — docs/ARCHITECTURE.md round 3)
         compute_dtype=dtype, int8_pointwise=512 if args.int8 else False,
-        # the input scenes themselves are the ideal calibration set
-        int8_calibration=arrays[:2] if args.int8 else None,
+        int8_calibration=calib,
     )
-    if args.fast_vote:
-        from building_detection_tpu.post import edges as E_mod
 
-        results = []
-        for arr in arrays:
-            fused = pipe.ensemble.predict_vote(arr, cfg.fuse.vote_threshold)
-            corners, height = E_mod.extract_polygons(fused, cfg.edge)
+    def predict_chunk(arrays):
+        if args.fast_vote:
+            from building_detection_tpu.post import edges as E_mod
             from building_detection_tpu.infer.pipeline import PredictResult
 
-            results.append(PredictResult({}, fused, corners, height))
-    else:
-        results = pipe.predict_images(arrays)
-    for path, result in zip(images, results):
-        name = os.path.splitext(os.path.basename(path))[0]
-        out_dir = os.path.join(args.out, name)
-        os.makedirs(out_dir, exist_ok=True)
-        if args.keep_intermediates:
-            for model_name, mask in result.masks.items():
-                uio.imwrite(os.path.join(out_dir, f"{model_name}_{name}.png"), mask)
-        uio.imwrite(os.path.join(out_dir, f"{name}_result.png"), result.fused)
-        uio.write_points(result.corners, os.path.join(out_dir, f"{name}.txt"))
-        print(
-            json.dumps(
-                {
-                    "image": path,
-                    "result": os.path.join(out_dir, f"{name}_result.png"),
-                    "points": os.path.join(out_dir, f"{name}.txt"),
-                    "num_buildings": len(result.corners),
-                }
+            results = []
+            for arr in arrays:
+                fused = pipe.ensemble.predict_vote(arr, cfg.fuse.vote_threshold)
+                corners, height = E_mod.extract_polygons(fused, cfg.edge)
+                results.append(PredictResult({}, fused, corners, height))
+            return results
+        return pipe.predict_images(arrays)
+
+    # Decode/predict/write CHUNK scenes at a time: the grouped device path
+    # still sees whole chunks (uploads/downloads pipeline within each), but
+    # host memory stays O(chunk) instead of O(directory) — the reference
+    # holds one image at a time (predict.py:160-178).
+    chunk = args.chunk_scenes if args.chunk_scenes > 0 else len(images)
+    for lo in range(0, len(images), chunk):
+        paths = images[lo : lo + chunk]
+        arrays = [uio.imread_rgb(p) for p in paths]
+        for path, result in zip(paths, predict_chunk(arrays)):
+            name = os.path.splitext(os.path.basename(path))[0]
+            out_dir = os.path.join(args.out, name)
+            os.makedirs(out_dir, exist_ok=True)
+            if args.keep_intermediates:
+                for model_name, mask in result.masks.items():
+                    uio.imwrite(
+                        os.path.join(out_dir, f"{model_name}_{name}.png"), mask
+                    )
+            uio.imwrite(
+                os.path.join(out_dir, f"{name}_result.png"), result.fused
             )
-        )
+            uio.write_points(
+                result.corners, os.path.join(out_dir, f"{name}.txt")
+            )
+            print(
+                json.dumps(
+                    {
+                        "image": path,
+                        "result": os.path.join(out_dir, f"{name}_result.png"),
+                        "points": os.path.join(out_dir, f"{name}.txt"),
+                        "num_buildings": len(result.corners),
+                    }
+                )
+            )
     return 0
 
 

@@ -40,6 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--augment-seed", type=int, help="enable on-device augmentation")
     p.add_argument(
+        "--shuffle",
+        action="store_true",
+        help="shuffle the dataset (opt-in; the reference cycles sorted file "
+        "order): samples once before staging, batch order every epoch — "
+        "deterministic, resume-stable (see Trainer.fit_arrays)",
+    )
+    p.add_argument("--shuffle-seed", type=int, default=0)
+    p.add_argument(
         "--precision", choices=["bf16", "f32"], default="bf16",
         help="activation dtype for the train step",
     )
@@ -134,12 +142,16 @@ def main(argv=None) -> int:
         trainer.fit_arrays(
             images, labels, val_images, val_labels,
             checkpoint_dir=args.checkpoint_dir,
+            shuffle=args.shuffle, shuffle_seed=args.shuffle_seed,
         )
         return 0
 
     from building_detection_tpu.data.dataset import prefetch
 
-    train_iter = prefetch(batch_iterator(train_pairs, cfg.batch_size, cfg.image_size))
+    train_iter = prefetch(batch_iterator(
+        train_pairs, cfg.batch_size, cfg.image_size,
+        shuffle=args.shuffle, seed=args.shuffle_seed,
+    ))
     val_iter, val_steps = None, 0
     if args.val_images and args.val_labels:
         val_pairs = list_pairs(args.val_images, args.val_labels)

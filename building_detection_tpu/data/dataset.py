@@ -59,9 +59,14 @@ def batch_iterator(
     pairs: Sequence[Tuple[str, str]],
     batch_size: int = 8,
     image_size: int = 512,
+    shuffle: bool = False,
+    seed: int = 0,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Infinite (images, labels) uint8 batches, cycling in sorted order
-    (`res34.py:57-111` uses ``itertools.cycle`` over the sorted lists).
+    """Infinite (images, labels) uint8 batches; default cycles in sorted
+    order (`res34.py:57-111` uses ``itertools.cycle`` over the sorted
+    lists).  ``shuffle=True`` (opt-in; the reference never shuffles) draws
+    a fresh seeded permutation of the pair list each pass, so batches vary
+    across epochs deterministically.
 
     Augmentation deliberately does NOT happen here: ``Trainer(augment=...)``
     folds it into the jitted train step, so augmented batches never
@@ -69,7 +74,20 @@ def batch_iterator(
     ``augment_rng`` path pulled the jitted result back over a ~20 MB/s
     tunnel and re-uploaded it).
     """
-    cycled = itertools.cycle(pairs)
+    if shuffle:
+        def ordered():
+            n_pass = 0
+            while True:
+                order = np.random.RandomState(seed + n_pass).permutation(
+                    len(pairs)
+                )
+                n_pass += 1
+                for i in order:
+                    yield pairs[i]
+
+        cycled = ordered()
+    else:
+        cycled = itertools.cycle(pairs)
     while True:
         imgs, labs = [], []
         for _ in range(batch_size):

@@ -237,23 +237,36 @@ class Trainer:
         # tunneled device (and on any remote runtime) per-step dispatch +
         # per-step metric fetches dominate at small batch sizes; the scan
         # path removes both.  Same train_step body => identical numerics.
-        def epoch_fn(params, state, opt_state, images_all, labels_all, step0):
-            steps = step0 + jnp.arange(images_all.shape[0], dtype=step0.dtype)
+        def epoch_fn(params, state, opt_state, images_all, labels_all, step0, order):
+            # ``order`` (steps,) int32 selects which pre-staged batch each
+            # scan step trains on: identity = the classic sequential epoch;
+            # a permutation = per-epoch batch shuffling WITHOUT copying the
+            # dataset (a flat sample-level gather would all-to-all across
+            # the data-sharded batch axis; indexing whole steps keeps every
+            # batch's shards in place).  The step counter (LR schedule,
+            # augment key) always advances sequentially regardless of order.
+            steps = step0 + jnp.arange(order.shape[0], dtype=step0.dtype)
 
-            def body(carry, batch):
+            def body(carry, idx_step):
+                idx, step = idx_step
                 p, s, o = carry
-                p, s, o, metrics = train_step(p, s, o, *batch)
+                p, s, o, metrics = train_step(
+                    p, s, o,
+                    jnp.take(images_all, idx, axis=0),
+                    jnp.take(labels_all, idx, axis=0),
+                    step,
+                )
                 return (p, s, o), metrics
 
             (params, state, opt_state), metrics = jax.lax.scan(
-                body, (params, state, opt_state), (images_all, labels_all, steps)
+                body, (params, state, opt_state), (order, steps)
             )
             return params, state, opt_state, metrics
 
         img5 = pmesh.staged_sharded(self.mesh, 5)
         lab4 = pmesh.staged_sharded(self.mesh, 4)
         if epoch_in is None and not self.tp:
-            epoch_in = (rep, rep, rep, img5, lab4, rep)
+            epoch_in = (rep, rep, rep, img5, lab4, rep, rep)
         self._epoch_fn = jax.jit(
             epoch_fn,
             in_shardings=epoch_in,
@@ -314,7 +327,7 @@ class Trainer:
             )
         self.params, self.state, self.opt_state, metrics = self._epoch_fn(
             self.params, self.state, self.opt_state, imgs5, labs4,
-            jnp.asarray(self.step, jnp.int32),
+            jnp.asarray(self.step, jnp.int32), np.zeros((1,), np.int32),
         )
         self.step += 1
         if fetch_metrics:
@@ -356,17 +369,38 @@ class Trainer:
             jax.device_put(labs, pmesh.staged_sharded(self.mesh, labs.ndim)),
         )
 
-    def train_epoch_staged(self, images_dev, labels_dev, fetch_metrics=True):
+    def train_epoch_staged(
+        self, images_dev, labels_dev, fetch_metrics=True, order=None
+    ):
         """Run one epoch over pre-staged batches in a single dispatch.
 
         Returns per-step metrics stacked along the leading axis (fetched to
         numpy when ``fetch_metrics``).  Numerics match step-by-step
-        ``train_on_batch`` exactly (same jitted body)."""
+        ``train_on_batch`` exactly (same jitted body).
+
+        ``order`` (optional) is a permutation of ``range(steps)`` giving the
+        batch visit order — per-epoch shuffling at whole-batch granularity,
+        free of any dataset copy (see ``epoch_fn``).  Default: sequential,
+        the reference's behaviour (its generators cycle sorted file order,
+        `res34.py:57-111`; ``fit_generator(shuffle=...)`` is a no-op on
+        generators)."""
+        n = int(images_dev.shape[0])
+        if order is None:
+            order = np.arange(n, dtype=np.int32)
+        else:
+            order = np.asarray(order, np.int32)
+            if order.shape != (n,) or not np.array_equal(
+                np.sort(order), np.arange(n, dtype=np.int32)
+            ):
+                raise ValueError(
+                    f"order must be a permutation of range({n}), got shape "
+                    f"{order.shape}"
+                )
         self.params, self.state, self.opt_state, metrics = self._epoch_fn(
             self.params, self.state, self.opt_state, images_dev, labels_dev,
-            jnp.asarray(self.step, jnp.int32),
+            jnp.asarray(self.step, jnp.int32), order,
         )
-        self.step += int(images_dev.shape[0])
+        self.step += n
         if fetch_metrics:
             return {k: np.asarray(v) for k, v in metrics.items()}
         return metrics
@@ -416,6 +450,8 @@ class Trainer:
         log_fn: Callable[[str], None] = print,
         callbacks: Optional[list] = None,
         stage: str = "auto",
+        shuffle: bool = False,
+        shuffle_seed: int = 0,
     ) -> list:
         """Train on an in-memory dataset, auto-choosing the staged-HBM path.
 
@@ -428,8 +464,26 @@ class Trainer:
         (:meth:`should_stage`) and falls back to the streamed per-step path
         otherwise; numerics are identical either way (same jitted body,
         pinned by tests/test_train.py).
+
+        ``shuffle=True`` (opt-in; the reference never shuffles — its
+        generators cycle sorted file order, `res34.py:57-111`) randomises
+        sample order once before batching (host-side, seeded) and then the
+        batch visit order every epoch.  On the staged path the per-epoch
+        reshuffle is the zero-copy ``order`` permutation (batch
+        granularity — re-staging sample-level each epoch would re-upload
+        the dataset and forfeit the staged win); on the streamed path it is
+        a fresh sample-level permutation per pass.  Epoch orders derive
+        from ``(shuffle_seed, epoch_index)`` with ``epoch_index =
+        step // steps_per_epoch``, so a resumed run replays the exact
+        orders an uninterrupted one would.
         """
         cfg = self.cfg
+        if shuffle:
+            # one-time sample-level shuffle so staged batches aren't the
+            # sorted-file-order ones; per-epoch reshuffle happens below
+            perm = np.random.RandomState(shuffle_seed).permutation(len(images_u8))
+            images_u8 = np.asarray(images_u8)[perm]
+            labels_u8 = np.asarray(labels_u8)[perm]
         # an epoch is one pass over the arrays on BOTH paths (the schedule
         # keeps the constructor's steps_per_epoch; only the loop count moves)
         self.steps_per_epoch = max(len(images_u8) // cfg.batch_size, 1)
@@ -446,9 +500,24 @@ class Trainer:
             def cycle(images, labels):
                 b = cfg.batch_size
                 steps = max(len(images) // b, 1)
+                n_pass = self.step // steps  # resume continues the sequence
                 while True:
+                    if shuffle:
+                        # sample-level, one fresh permutation per pass;
+                        # seeded by pass index so resume replays the order
+                        p = np.random.RandomState(
+                            shuffle_seed + 1 + n_pass
+                        ).permutation(len(images))
+                        images_p = np.asarray(images)[p]
+                        labels_p = np.asarray(labels)[p]
+                    else:
+                        images_p, labels_p = images, labels
+                    n_pass += 1
                     for i in range(steps):
-                        yield images[i * b : (i + 1) * b], labels[i * b : (i + 1) * b]
+                        yield (
+                            images_p[i * b : (i + 1) * b],
+                            labels_p[i * b : (i + 1) * b],
+                        )
 
             val_iter, val_steps = None, 0
             if val_images is not None:
@@ -477,7 +546,15 @@ class Trainer:
             ]
         for epoch in range(cfg.epochs):
             t0 = time.time()
-            metrics = self.train_epoch_staged(imgs_dev, labs_dev)
+            order = None
+            if shuffle:
+                # keyed by absolute epoch index so --auto-resume replays
+                # the same orders an uninterrupted run would
+                epoch_idx = self.step // steps
+                order = np.random.RandomState(
+                    shuffle_seed + 1 + epoch_idx
+                ).permutation(steps).astype(np.int32)
+            metrics = self.train_epoch_staged(imgs_dev, labs_dev, order=order)
             # sequential f64 running sum: the SAME aggregation arithmetic as
             # fit()'s streamed loop, so epoch means are bitwise equal too
             # (per-step values already are; np.mean's pairwise summation

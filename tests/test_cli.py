@@ -201,6 +201,61 @@ class TestPredictCli:
         ]
         assert len(lines) == 2 and all("num_buildings" in l for l in lines)
 
+    def test_chunked_directory_equals_single_chunk(self, tmp_path):
+        """--chunk-scenes bounds host memory on big directory runs (the
+        reference's file bus is O(1 image), predict.py:160-178); per-scene
+        outputs must be bit-identical to the all-at-once run (CPU f32
+        convs are batch-shape-invariant, so ANY diff is a chunking bug)."""
+        from building_detection_tpu.cli import predict as predict_cli
+        from building_detection_tpu.core.config import Config
+
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            Config(),
+            tiler=dataclasses.replace(
+                Config().tiler, tile=32, stride=24, overlap=8
+            ),
+        )
+        cfg_path = str(tmp_path / "cfg.json")
+        cfg.to_json(cfg_path)
+
+        scene_dir = tmp_path / "scenes"
+        scene_dir.mkdir()
+        rng = np.random.RandomState(7)
+        for name in ["a", "b", "c"]:  # mixed shapes across chunk boundaries
+            h, w = rng.choice([40, 48]), rng.choice([40, 56])
+            uio.imwrite(
+                str(scene_dir / f"{name}.png"),
+                rng.randint(0, 256, (h, w, 3), np.uint8),
+            )
+        outs = {}
+        for label, chunk in [("whole", "0"), ("chunked", "1")]:
+            out_dir = str(tmp_path / f"out_{label}")
+            rc = predict_cli.main([
+                "--image-dir", str(scene_dir),
+                "--out", out_dir,
+                "--config", cfg_path,
+                "--batch-tiles", "4",
+                "--precision", "f32",
+                "--chunk-scenes", chunk,
+            ])
+            assert rc == 0
+            outs[label] = out_dir
+        for name in ["a", "b", "c"]:
+            m0 = uio.imread_gray(
+                os.path.join(outs["whole"], name, f"{name}_result.png")
+            )
+            m1 = uio.imread_gray(
+                os.path.join(outs["chunked"], name, f"{name}_result.png")
+            )
+            np.testing.assert_array_equal(m0, m1)
+            with open(os.path.join(outs["whole"], name, f"{name}.txt")) as f:
+                t0 = f.read()
+            with open(os.path.join(outs["chunked"], name, f"{name}.txt")) as f:
+                t1 = f.read()
+            assert t0 == t1
+
 
 class TestAugmentCli:
     def test_offline_builder_and_split(self, tmp_path):

@@ -391,6 +391,67 @@ class TestTrainer:
         for k in pa:
             np.testing.assert_array_equal(pa[k], pb[k], err_msg=k)
 
+    def test_staged_shuffle_order_matches_manual_visit_order(self):
+        """``order`` permutes WHICH staged batch each scan step trains on
+        while the step counter (LR, augment key) advances sequentially —
+        so a shuffled staged epoch must be bit-equal to train_on_batch
+        visiting the batches in that same order."""
+        rng = np.random.RandomState(11)
+        n_steps, b, hw = 4, 8, 32
+        imgs = rng.randint(0, 256, (n_steps * b, hw, hw, 3), np.uint8)
+        labs = np.where(rng.rand(n_steps * b, hw, hw) < 0.3, 255, 0).astype(np.uint8)
+        order = np.array([2, 0, 3, 1], np.int32)
+
+        tr_loop = self.make_trainer()
+        loop_losses = [
+            tr_loop.train_on_batch(
+                imgs[i * b:(i + 1) * b], labs[i * b:(i + 1) * b]
+            )["loss"]
+            for i in order
+        ]
+
+        tr_scan = self.make_trainer()
+        images_dev, labels_dev = tr_scan.stage_dataset(imgs, labs)
+        metrics = tr_scan.train_epoch_staged(images_dev, labels_dev, order=order)
+        np.testing.assert_array_equal(
+            np.asarray(metrics["loss"], np.float64), np.asarray(loop_losses)
+        )
+        pa = jax.device_get(tr_loop.params)
+        pb = jax.device_get(tr_scan.params)
+        for k in pa:
+            np.testing.assert_array_equal(pa[k], pb[k], err_msg=k)
+
+    def test_staged_order_must_be_permutation(self):
+        rng = np.random.RandomState(12)
+        imgs = rng.randint(0, 256, (16, 32, 32, 3), np.uint8)
+        labs = np.where(rng.rand(16, 32, 32) < 0.3, 255, 0).astype(np.uint8)
+        tr = self.make_trainer()
+        dev = tr.stage_dataset(imgs, labs)
+        with pytest.raises(ValueError, match="permutation"):
+            tr.train_epoch_staged(*dev, order=np.array([0, 0], np.int32))
+        with pytest.raises(ValueError, match="permutation"):
+            tr.train_epoch_staged(*dev, order=np.array([1], np.int32))
+
+    def test_fit_arrays_shuffle_deterministic(self, tmp_path):
+        """shuffle=True is seeded end-to-end: two identical runs produce
+        identical histories, and a different seed produces a different
+        batch composition (first-epoch losses differ)."""
+        rng = np.random.RandomState(13)
+        imgs = rng.randint(0, 256, (32, 32, 32, 3), np.uint8)
+        labs = np.where(rng.rand(32, 32, 32) < 0.3, 255, 0).astype(np.uint8)
+
+        def run(seed):
+            cfg = TrainConfig(batch_size=8, epochs=2, warmup_epochs=1, image_size=32)
+            tr = Trainer(tiny_model, cfg, steps_per_epoch=4)
+            return tr.fit_arrays(
+                imgs, labs, shuffle=True, shuffle_seed=seed,
+                log_fn=lambda s: None,
+            )
+
+        h1, h2, h3 = run(0), run(0), run(1)
+        assert [h["loss"] for h in h1] == [h["loss"] for h in h2]
+        assert [h["loss"] for h in h1] != [h["loss"] for h in h3]
+
     def test_remat_matches_plain(self):
         """jax.checkpoint remat changes memory, not numerics."""
         imgs, labs = self.make_data()
