@@ -338,7 +338,7 @@ def measure_train(model_name: str, batch: int, iters: int):
     flops_per_epoch = iters * _flops_of(
         trainer._train_step.lower(
             trainer.params, trainer.state, trainer.opt_state,
-            images_dev[0], labels_dev[0],
+            images_dev[0], labels_dev[0], jnp.asarray(0, jnp.int32),
         ).compile()
     )
     t0 = time.perf_counter()

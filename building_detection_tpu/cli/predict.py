@@ -140,11 +140,21 @@ def main(argv=None) -> int:
     # Decode/predict/write CHUNK scenes at a time: the grouped device path
     # still sees whole chunks (uploads/downloads pipeline within each), but
     # host memory stays O(chunk) instead of O(directory) — the reference
-    # holds one image at a time (predict.py:160-178).
+    # holds one image at a time (predict.py:160-178).  A depth-1 prefetch
+    # decodes chunk N+1 on a background thread while chunk N is on device,
+    # so host PNG decode overlaps device compute across chunk boundaries
+    # (within a chunk the engine already pipelines); peak host memory stays
+    # O(2·chunk).
+    from building_detection_tpu.data.dataset import prefetch
+
     chunk = args.chunk_scenes if args.chunk_scenes > 0 else len(images)
-    for lo in range(0, len(images), chunk):
-        paths = images[lo : lo + chunk]
-        arrays = [uio.imread_rgb(p) for p in paths]
+
+    def decoded_chunks():
+        for lo in range(0, len(images), chunk):
+            paths = images[lo : lo + chunk]
+            yield paths, [uio.imread_rgb(p) for p in paths]
+
+    for paths, arrays in prefetch(decoded_chunks(), depth=1):
         for path, result in zip(paths, predict_chunk(arrays)):
             name = os.path.splitext(os.path.basename(path))[0]
             out_dir = os.path.join(args.out, name)
