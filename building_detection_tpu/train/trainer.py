@@ -472,7 +472,10 @@ class Trainer:
         reshuffle is the zero-copy ``order`` permutation (batch
         granularity — re-staging sample-level each epoch would re-upload
         the dataset and forfeit the staged win); on the streamed path it is
-        a fresh sample-level permutation per pass.  Epoch orders derive
+        a fresh sample-level permutation per pass.  Validation batches stay
+        in fixed order on BOTH paths: per-batch-averaged IoU/F1 are not
+        permutation-invariant, so shuffling validation would make epoch
+        val metrics mutually incomparable.  Epoch orders derive
         from ``(shuffle_seed, epoch_index)`` with ``epoch_index =
         step // steps_per_epoch``, so a resumed run replays the exact
         orders an uninterrupted one would.
@@ -497,12 +500,12 @@ class Trainer:
             use_staged = {"staged": True, "stream": False}[stage]
 
         if not use_staged:
-            def cycle(images, labels):
+            def cycle(images, labels, do_shuffle=False):
                 b = cfg.batch_size
                 steps = max(len(images) // b, 1)
                 n_pass = self.step // steps  # resume continues the sequence
                 while True:
-                    if shuffle:
+                    if do_shuffle:
                         # sample-level, one fresh permutation per pass;
                         # seeded by pass index so resume replays the order
                         p = np.random.RandomState(
@@ -525,7 +528,7 @@ class Trainer:
                 val_steps = max(len(val_images) // cfg.batch_size, 1)
             log_fn("fit_arrays: dataset exceeds the HBM budget, streaming per step")
             return self.fit(
-                cycle(images_u8, labels_u8), val_iter, val_steps,
+                cycle(images_u8, labels_u8, do_shuffle=shuffle), val_iter, val_steps,
                 checkpoint_dir=checkpoint_dir, log_fn=log_fn, callbacks=callbacks,
             )
 

@@ -452,6 +452,39 @@ class TestTrainer:
         assert [h["loss"] for h in h1] == [h["loss"] for h in h2]
         assert [h["loss"] for h in h1] != [h["loss"] for h in h3]
 
+    def test_streamed_shuffle_keeps_validation_fixed_order(self):
+        """Validation batches must NOT be shuffled: per-batch-averaged
+        IoU/F1 are not permutation-invariant, so reshuffled val
+        composition would make epoch val metrics incomparable.  Train is a
+        single batch here (shuffle only permutes samples within it, which
+        changes nothing beyond summation-order ulps), and the two val
+        batches have wildly different positive densities — if shuffle
+        leaked into validation, the per-batch IoUs (and their mean) would
+        shift far beyond ulp noise."""
+        rng = np.random.RandomState(14)
+        imgs = rng.randint(0, 256, (8, 32, 32, 3), np.uint8)
+        labs = np.where(rng.rand(8, 32, 32) < 0.3, 255, 0).astype(np.uint8)
+        vimgs = rng.randint(0, 256, (16, 32, 32, 3), np.uint8)
+        vlabs = np.concatenate([
+            np.where(rng.rand(8, 32, 32) < 0.95, 255, 0),  # dense batch
+            np.where(rng.rand(8, 32, 32) < 0.02, 255, 0),  # sparse batch
+        ]).astype(np.uint8)
+
+        def run(shuffle):
+            cfg = TrainConfig(batch_size=8, epochs=2, warmup_epochs=1, image_size=32)
+            tr = Trainer(tiny_model, cfg, steps_per_epoch=1)
+            return tr.fit_arrays(
+                imgs, labs, vimgs, vlabs, stage="stream",
+                shuffle=shuffle, shuffle_seed=0, log_fn=lambda s: None,
+            )
+
+        h_off, h_on = run(False), run(True)
+        for a, b in zip(h_off, h_on):
+            np.testing.assert_allclose(
+                [a["val_IoU"], a["val_loss"]],
+                [b["val_IoU"], b["val_loss"]], rtol=1e-4,
+            )
+
     def test_remat_matches_plain(self):
         """jax.checkpoint remat changes memory, not numerics."""
         imgs, labs = self.make_data()
