@@ -52,11 +52,31 @@ def build_parser() -> argparse.ArgumentParser:
         help="activation dtype for the train step",
     )
     p.add_argument("--data-parallel", type=int, default=-1, help="devices on the data axis")
+    p.add_argument(
+        "--coordinator",
+        help="multi-host training: host:port of process 0's coordinator — "
+        "launch one bdt-train per host with identical arguments plus "
+        "--num-processes/--process-id (on a TPU pod slice pass just "
+        "--num-processes 0 to auto-detect the topology); each host decodes "
+        "only its shard of the dataset, gradients all-reduce globally, "
+        "process 0 writes the checkpoints",
+    )
+    p.add_argument("--num-processes", type=int)
+    p.add_argument("--process-id", type=int)
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.coordinator or args.num_processes is not None:
+        # must run before anything touches the XLA backend
+        from building_detection_tpu.parallel.distributed import init_distributed
+
+        if args.num_processes == 0:  # pod auto-detection
+            init_distributed()
+        else:
+            init_distributed(args.coordinator, args.num_processes, args.process_id)
 
     import jax.numpy as jnp
 
@@ -119,16 +139,31 @@ def main(argv=None) -> int:
     host_budget = 16 << 30
     dataset_bytes = len(train_pairs) * (cfg.image_size ** 2) * 4
     if dataset_bytes <= host_budget:
+        import jax
         import numpy as np
 
         from building_detection_tpu.data.dataset import decode_pair
 
+        if jax.process_count() > 1:
+            # multi-host: decode only the samples this process's devices own
+            # and assemble globally-sharded staged arrays directly
+            from building_detection_tpu.parallel import distributed as dist
+
+            idx = dist.local_sample_indices(
+                len(train_pairs), cfg.batch_size, trainer.mesh
+            )
+            print(f"process {jax.process_index()}: feeding {len(idx)} samples")
+            local_pairs = [train_pairs[i] for i in idx]
+        else:
+            local_pairs = train_pairs
         imgs, labs = [], []
-        for ip, lp in train_pairs:
+        for ip, lp in local_pairs:
             im, lb = decode_pair(ip, lp, cfg.image_size)
             imgs.append(im)
             labs.append(lb)
         images, labels = np.stack(imgs), np.stack(labs)
+        if jax.process_count() > 1:
+            images, labels = dist.stage_local_dataset(trainer, images, labels)
         val_images = val_labels = None
         if args.val_images and args.val_labels:
             val_pairs = list_pairs(args.val_images, args.val_labels)

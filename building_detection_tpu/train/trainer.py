@@ -407,10 +407,17 @@ class Trainer:
 
     # -- full fit loop ------------------------------------------------------
     def _hbm_bytes_free(self):
-        """Free bytes on device 0, or None where the backend won't say
-        (host-platform CPU devices report no memory_stats)."""
+        """Free bytes on one of THIS process's mesh devices, or None where
+        the backend won't say (host-platform CPU devices report no
+        memory_stats; under multi-process execution remote devices cannot be
+        queried at all)."""
         try:
-            stats = self.mesh.devices.flat[0].memory_stats()
+            dev = next(
+                (d for d in self.mesh.devices.flat
+                 if d.process_index == jax.process_index()),
+                self.mesh.devices.flat[0],
+            )
+            stats = dev.memory_stats()
             if stats and "bytes_limit" in stats:
                 return int(stats["bytes_limit"]) - int(stats.get("bytes_in_use", 0))
         except Exception:
@@ -481,7 +488,13 @@ class Trainer:
         orders an uninterrupted one would.
         """
         cfg = self.cfg
-        if shuffle:
+        # Pre-staged (steps, batch, ...) device arrays pass straight through:
+        # the multi-host feed (`parallel.distributed.stage_local_dataset`,
+        # where each process uploads only the samples its devices own)
+        # produces these, and re-staging them is impossible (the global
+        # array is not addressable from any single process).
+        pre_staged = isinstance(images_u8, jax.Array)
+        if shuffle and not pre_staged:
             # one-time sample-level shuffle so staged batches aren't the
             # sorted-file-order ones; per-epoch reshuffle happens below
             perm = np.random.RandomState(shuffle_seed).permutation(len(images_u8))
@@ -489,15 +502,19 @@ class Trainer:
             labels_u8 = np.asarray(labels_u8)[perm]
         # an epoch is one pass over the arrays on BOTH paths (the schedule
         # keeps the constructor's steps_per_epoch; only the loop count moves)
-        self.steps_per_epoch = max(len(images_u8) // cfg.batch_size, 1)
-        if stage == "auto":
-            # the val set is device_put alongside the staged epochs below,
-            # so it must fit the same budget (judge r3 self-review)
-            use_staged = self.should_stage(
-                images_u8, labels_u8, extra_arrays=(val_images, val_labels)
-            )
+        if pre_staged:
+            self.steps_per_epoch = max(int(images_u8.shape[0]), 1)
+            use_staged = True
         else:
-            use_staged = {"staged": True, "stream": False}[stage]
+            self.steps_per_epoch = max(len(images_u8) // cfg.batch_size, 1)
+            if stage == "auto":
+                # the val set is device_put alongside the staged epochs below,
+                # so it must fit the same budget (judge r3 self-review)
+                use_staged = self.should_stage(
+                    images_u8, labels_u8, extra_arrays=(val_images, val_labels)
+                )
+            else:
+                use_staged = {"staged": True, "stream": False}[stage]
 
         if not use_staged:
             def cycle(images, labels, do_shuffle=False):
@@ -532,7 +549,10 @@ class Trainer:
                 checkpoint_dir=checkpoint_dir, log_fn=log_fn, callbacks=callbacks,
             )
 
-        imgs_dev, labs_dev = self.stage_dataset(images_u8, labels_u8)
+        if pre_staged:
+            imgs_dev, labs_dev = images_u8, labels_u8
+        else:
+            imgs_dev, labs_dev = self.stage_dataset(images_u8, labels_u8)
         steps = int(imgs_dev.shape[0])
         log_fn(f"fit_arrays: staged {steps} steps x batch {cfg.batch_size} in HBM")
         val_dev = None
@@ -580,7 +600,9 @@ class Trainer:
                 f"epoch {epoch + 1}/{cfg.epochs} "
                 + " ".join(f"{k}={v:.4f}" for k, v in agg.items())
             )
-            if checkpoint_dir:
+            if checkpoint_dir and jax.process_index() == 0:
+                # single writer under multi-process execution; params/state
+                # are fully replicated so process 0's copy is the global one
                 self.save(
                     os.path.join(checkpoint_dir, f"epoch_{epoch + 1}_weights.npz")
                 )
@@ -651,7 +673,9 @@ class Trainer:
                 f"epoch {epoch + 1}/{cfg.epochs} "
                 + " ".join(f"{k}={v:.4f}" for k, v in agg.items())
             )
-            if checkpoint_dir:
+            if checkpoint_dir and jax.process_index() == 0:
+                # single writer under multi-process execution; params/state
+                # are fully replicated so process 0's copy is the global one
                 self.save(
                     os.path.join(checkpoint_dir, f"epoch_{epoch + 1}_weights.npz")
                 )

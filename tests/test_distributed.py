@@ -1,0 +1,138 @@
+"""Multi-process (multi-host) data-parallel training.
+
+The reference is single-GPU/single-process (SURVEY.md section 2.3); the
+framework's scale-out beyond one host is `parallel/distributed.py`:
+``jax.distributed`` bring-up, per-host data feeding, single-writer
+checkpoints.  Two layers of validation:
+
+* in-process (single-process degenerate case): the per-host feeding helpers
+  must collapse exactly onto the existing single-process paths;
+* a REAL 2-process run (subprocesses, 4 virtual CPU devices each, Gloo
+  cross-process collectives — the pod execution shape without a pod)
+  training the same tiny model as a single-process 8-device mesh, asserting
+  replicated results agree across processes bitwise and match the
+  single-process run to float noise (different collective reduction order;
+  see parallel/distributed.py docstring).
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from building_detection_tpu.core.config import TrainConfig
+from building_detection_tpu.nn import layers as L
+from building_detection_tpu.parallel import distributed as dist
+from building_detection_tpu.train import checkpoint as ckpt
+from building_detection_tpu.train.trainer import Trainer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def tiny_model(s, x):
+    x = L.conv2d(s, x, 8, 3, activation="relu")
+    x = L.batch_norm(s, x)
+    return L.conv2d(s, x, 2, 1, activation="softmax")
+
+
+def _data(n=32, hw=16, seed=0):
+    rng = np.random.RandomState(seed)
+    imgs = rng.randint(0, 256, (n, hw, hw, 3), np.uint8)
+    labs = np.where(rng.rand(n, hw, hw) < 0.3, 255, 0).astype(np.uint8)
+    return imgs, labs
+
+
+class TestSingleProcessDegenerate:
+    """The multi-host helpers under one process == the existing paths."""
+
+    def test_local_sample_indices_identity(self):
+        tr = Trainer(tiny_model, TrainConfig(batch_size=8, image_size=16),
+                     steps_per_epoch=1)
+        idx = dist.local_sample_indices(20, 8, tr.mesh)
+        # 2 complete batches of 8; one process owns every row, feeding order
+        np.testing.assert_array_equal(idx, np.arange(16))
+
+    def test_stage_local_equals_stage_dataset(self):
+        imgs, labs = _data()
+        cfg = TrainConfig(batch_size=8, epochs=1, warmup_epochs=1, image_size=16)
+        tr = Trainer(tiny_model, cfg, steps_per_epoch=4)
+        a_i, a_l = tr.stage_dataset(imgs, labs)
+        idx = dist.local_sample_indices(len(imgs), cfg.batch_size, tr.mesh)
+        b_i, b_l = dist.stage_local_dataset(tr, imgs[idx], labs[idx])
+        np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
+        np.testing.assert_array_equal(np.asarray(a_l), np.asarray(b_l))
+
+    def test_fit_arrays_accepts_pre_staged(self, tmp_path):
+        """fit_arrays on pre-staged device arrays == fit_arrays on host
+        arrays, bitwise (same compiled epoch program, same batches)."""
+        imgs, labs = _data()
+        cfg = TrainConfig(batch_size=8, epochs=2, warmup_epochs=1, image_size=16)
+        a = Trainer(tiny_model, cfg, steps_per_epoch=4)
+        b = Trainer(tiny_model, cfg, steps_per_epoch=4)
+        ha = a.fit_arrays(imgs, labs, stage="staged", log_fn=lambda m: None)
+        hb = b.fit_arrays(*b.stage_dataset(imgs, labs), log_fn=lambda m: None)
+        for ka, kb in zip(
+            jax.tree_util.tree_leaves(a.params), jax.tree_util.tree_leaves(b.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(ka), np.asarray(kb))
+        assert [h["loss"] for h in ha] == [h["loss"] for h in hb]
+
+
+class TestTwoProcess:
+    def test_two_process_dp_matches_single_process(self, tmp_path):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        worker = os.path.join(REPO, "tests", "_distributed_worker.py")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(i), "2", str(port), str(tmp_path)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, f"worker failed:\n{out}"
+
+        # both processes hold bit-identical replicated results
+        p0 = ckpt.load_variables(str(tmp_path / "params_p0.npz"))
+        p1 = ckpt.load_variables(str(tmp_path / "params_p1.npz"))
+        l0 = jax.tree_util.tree_leaves((p0[0], p0[1]))
+        l1 = jax.tree_util.tree_leaves((p1[0], p1[1]))
+        assert len(l0) == len(l1) and len(l0) > 0
+        for x, y in zip(l0, l1):
+            np.testing.assert_array_equal(x, y)
+        assert p0[3] == 8  # 2 epochs x 4 steps
+
+        # single-process 8-device mesh, identical data/config/seed
+        imgs, labs = _data()
+        cfg = TrainConfig(batch_size=8, epochs=2, warmup_epochs=1, image_size=16)
+        tr = Trainer(tiny_model, cfg, steps_per_epoch=4)
+        hist = tr.fit_arrays(
+            imgs, labs, val_images=imgs[:8], val_labels=labs[:8],
+            stage="staged", log_fn=lambda m: None,
+        )
+        ref = jax.tree_util.tree_leaves(
+            (jax.device_get(tr.params), jax.device_get(tr.state))
+        )
+        # cross-process all-reduce orders reductions differently than the
+        # single-process program -> float noise, amplified a little by Adam
+        for x, y in zip(ref, l0):
+            np.testing.assert_allclose(x, y, rtol=0, atol=2e-4)
+        with open(tmp_path / "history_p0.json") as f:
+            hist2 = json.load(f)
+        assert len(hist2) == len(hist) == 2
+        for a, b in zip(hist, hist2):
+            assert abs(a["loss"] - b["loss"]) < 1e-4
+            assert abs(a["val_IoU"] - b["val_IoU"]) < 1e-3
+        # the primary wrote per-epoch checkpoints; exactly one writer
+        assert (tmp_path / "epoch_2_weights.npz").exists()
+        assert (tmp_path / "history.json").exists()
