@@ -486,6 +486,14 @@ class Trainer:
         from ``(shuffle_seed, epoch_index)`` with ``epoch_index =
         step // steps_per_epoch``, so a resumed run replays the exact
         orders an uninterrupted one would.
+
+        ``images_u8``/``labels_u8`` may also be PRE-STAGED ``(steps, batch,
+        ...)`` device arrays (multi-host feeding via
+        ``parallel.distributed.stage_local_dataset``): staging decisions and
+        the one-time sample-level shuffle are skipped (the samples are
+        already on device; global shards are not re-orderable from any one
+        process) — ``shuffle`` then means per-epoch batch-order permutation
+        only, which is identical on every process by construction.
         """
         cfg = self.cfg
         # Pre-staged (steps, batch, ...) device arrays pass straight through:
