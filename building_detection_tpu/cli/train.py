@@ -183,8 +183,27 @@ def main(argv=None) -> int:
 
     from building_detection_tpu.data.dataset import prefetch
 
+    import jax
+
+    multihost = jax.process_count() > 1
+    if multihost:
+        # stream only this process's rows of each global batch (complete
+        # batches; the sub-batch tail is dropped, matching the staged path).
+        # The per-pass shuffle stays aligned across processes: every local
+        # pair list has the same length, so the seeded permutation is the
+        # same on all of them.
+        from building_detection_tpu.parallel import distributed as dist
+
+        idx = dist.local_sample_indices(
+            len(train_pairs), cfg.batch_size, trainer.mesh
+        )
+        print(f"process {jax.process_index()}: streaming {len(idx)} samples")
+        stream_pairs = [train_pairs[i] for i in idx]
+        stream_batch = len(idx) // max(len(train_pairs) // cfg.batch_size, 1)
+    else:
+        stream_pairs, stream_batch = train_pairs, cfg.batch_size
     train_iter = prefetch(batch_iterator(
-        train_pairs, cfg.batch_size, cfg.image_size,
+        stream_pairs, stream_batch, cfg.image_size,
         shuffle=args.shuffle, seed=args.shuffle_seed,
     ))
     val_iter, val_steps = None, 0
@@ -195,7 +214,8 @@ def main(argv=None) -> int:
         val_steps = max(len(val_pairs) // cfg.batch_size, 1)
 
     trainer.fit(
-        train_iter, val_iter, val_steps, checkpoint_dir=args.checkpoint_dir
+        train_iter, val_iter, val_steps, checkpoint_dir=args.checkpoint_dir,
+        from_process_local=multihost,
     )
     return 0
 

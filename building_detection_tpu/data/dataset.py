@@ -156,7 +156,8 @@ def _threaded_pipe(iterator: Iterator, prepare, depth: int, name: str) -> Iterat
 
 
 def device_prefetch(
-    iterator: Iterator, mesh, depth: int = 2, staged_steps: bool = False
+    iterator: Iterator, mesh, depth: int = 2, staged_steps: bool = False,
+    from_process_local: bool = False,
 ) -> Iterator:
     """Host->device upload pipelining for training batches.
 
@@ -170,21 +171,39 @@ def device_prefetch(
     ``staged_steps=True`` uploads each batch with a length-1 leading steps
     axis in the staged-epoch sharding — the layout ``train_on_batch``'s
     scan-body program consumes directly (no per-step device reshape).
+
+    ``from_process_local=True`` (multi-host streaming): the iterator yields
+    only the rows of each global batch that THIS process's devices own
+    (ascending global order, see
+    ``parallel.distributed.local_sample_indices``) and the upload assembles
+    the global sharded batch via
+    ``jax.make_array_from_process_local_data`` — each host decodes
+    ``1/num_processes`` of the stream.  Single-process it degenerates to
+    the plain transfer.
     """
     from building_detection_tpu.parallel import mesh as pmesh
+    from building_detection_tpu.parallel.distributed import global_from_local
 
     if staged_steps:
         import jax
 
+        def put(x, sh):
+            if from_process_local:
+                return global_from_local(x, sh)
+            return jax.device_put(x, sh)
+
         def prepare(item):
             imgs, labs = item
             return (
-                jax.device_put(
-                    np.asarray(imgs)[None], pmesh.staged_sharded(mesh, 5)
-                ),
-                jax.device_put(
-                    np.asarray(labs)[None], pmesh.staged_sharded(mesh, 4)
-                ),
+                put(np.asarray(imgs)[None], pmesh.staged_sharded(mesh, 5)),
+                put(np.asarray(labs)[None], pmesh.staged_sharded(mesh, 4)),
+            )
+    elif from_process_local:
+        def prepare(item):
+            imgs, labs = item
+            return (
+                global_from_local(np.asarray(imgs), pmesh.data_sharded(mesh, 4)),
+                global_from_local(np.asarray(labs), pmesh.data_sharded(mesh, 3)),
             )
     else:
         def prepare(item):

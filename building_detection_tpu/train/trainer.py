@@ -641,6 +641,7 @@ class Trainer:
         checkpoint_dir: Optional[str] = None,
         log_fn: Callable[[str], None] = print,
         callbacks: Optional[list] = None,
+        from_process_local: bool = False,
     ) -> list:
         """Epoch loop mirroring ``fit_generator`` (`res34.py:673-678`) with a
         checkpoint per epoch (`res34.py:603-609`).  ``callbacks`` are
@@ -649,11 +650,19 @@ class Trainer:
         Device work is pipelined: batch uploads run a couple of steps ahead
         on a background thread (:func:`data.dataset.device_prefetch`) and
         per-step metrics stay on device until the epoch ends — the step loop
-        never blocks on the host<->device link."""
+        never blocks on the host<->device link.
+
+        ``from_process_local=True`` (multi-host streaming): ``train_iter``
+        yields only this process's rows of each global batch (see
+        :func:`data.dataset.device_prefetch`); ``val_iter`` stays global
+        (every process feeds identical validation batches)."""
         from building_detection_tpu.data.dataset import device_prefetch
 
         cfg = self.cfg
-        train_iter = device_prefetch(train_iter, self.mesh, staged_steps=True)
+        train_iter = device_prefetch(
+            train_iter, self.mesh, staged_steps=True,
+            from_process_local=from_process_local,
+        )
         for epoch in range(cfg.epochs):
             t0 = time.time()
             step_metrics = [

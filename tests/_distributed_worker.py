@@ -66,6 +66,26 @@ ckpt.save_variables(
     jax.device_get(tr.params), jax.device_get(tr.state),
     jax.device_get(tr.opt_state), tr.step,
 )
+
+# streamed multi-host path: fresh trainer, per-process batch generator
+# (each process yields only its rows of every global batch)
+tr2 = Trainer(tiny_model, cfg, steps_per_epoch=4)
+b_local = len(idx) // 4
+
+
+def local_stream():
+    while True:
+        for k in range(4):
+            sl = idx[k * b_local : (k + 1) * b_local]
+            yield imgs[sl], labs[sl]
+
+
+tr2.fit(local_stream(), log_fn=lambda m: None, from_process_local=True)
+ckpt.save_variables(
+    os.path.join(outdir, f"params_p{pid}_stream.npz"),
+    jax.device_get(tr2.params), jax.device_get(tr2.state),
+    jax.device_get(tr2.opt_state), tr2.step,
+)
 if dist.is_primary():
     import json
 

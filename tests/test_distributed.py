@@ -66,6 +66,26 @@ class TestSingleProcessDegenerate:
         np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
         np.testing.assert_array_equal(np.asarray(a_l), np.asarray(b_l))
 
+    def test_fit_from_process_local_degenerate(self):
+        """fit(from_process_local=True) under one process == plain fit,
+        bitwise (global_from_local degenerates to the same transfer)."""
+        imgs, labs = _data()
+        cfg = TrainConfig(batch_size=8, epochs=1, warmup_epochs=1, image_size=16)
+
+        def stream():
+            while True:
+                for k in range(4):
+                    yield imgs[k * 8 : (k + 1) * 8], labs[k * 8 : (k + 1) * 8]
+
+        a = Trainer(tiny_model, cfg, steps_per_epoch=4)
+        b = Trainer(tiny_model, cfg, steps_per_epoch=4)
+        a.fit(stream(), log_fn=lambda m: None)
+        b.fit(stream(), log_fn=lambda m: None, from_process_local=True)
+        for ka, kb in zip(
+            jax.tree_util.tree_leaves(a.params), jax.tree_util.tree_leaves(b.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(ka), np.asarray(kb))
+
     def test_fit_arrays_accepts_pre_staged(self, tmp_path):
         """fit_arrays on pre-staged device arrays == fit_arrays on host
         arrays, bitwise (same compiled epoch program, same batches)."""
@@ -136,3 +156,26 @@ class TestTwoProcess:
         # the primary wrote per-epoch checkpoints; exactly one writer
         assert (tmp_path / "epoch_2_weights.npz").exists()
         assert (tmp_path / "history.json").exists()
+
+        # streamed multi-host phase (per-process batch generators through
+        # Trainer.fit(from_process_local=True)): both processes bit-equal,
+        # and to float noise of a single-process streamed run
+        s0 = ckpt.load_variables(str(tmp_path / "params_p0_stream.npz"))
+        s1 = ckpt.load_variables(str(tmp_path / "params_p1_stream.npz"))
+        sl0 = jax.tree_util.tree_leaves((s0[0], s0[1]))
+        sl1 = jax.tree_util.tree_leaves((s1[0], s1[1]))
+        for x, y in zip(sl0, sl1):
+            np.testing.assert_array_equal(x, y)
+
+        def stream():
+            while True:
+                for k in range(4):
+                    yield imgs[k * 8 : (k + 1) * 8], labs[k * 8 : (k + 1) * 8]
+
+        tr2 = Trainer(tiny_model, cfg, steps_per_epoch=4)
+        tr2.fit(stream(), log_fn=lambda m: None)
+        sref = jax.tree_util.tree_leaves(
+            (jax.device_get(tr2.params), jax.device_get(tr2.state))
+        )
+        for x, y in zip(sref, sl0):
+            np.testing.assert_allclose(x, y, rtol=0, atol=2e-4)
