@@ -197,9 +197,15 @@ def main(argv=None) -> int:
         idx = dist.local_sample_indices(
             len(train_pairs), cfg.batch_size, trainer.mesh
         )
+        if len(idx) == 0:
+            raise SystemExit(
+                f"multi-host streaming needs at least one complete global "
+                f"batch ({cfg.batch_size} samples; got {len(train_pairs)}) "
+                f"and every process must own rows of the data axis"
+            )
         print(f"process {jax.process_index()}: streaming {len(idx)} samples")
         stream_pairs = [train_pairs[i] for i in idx]
-        stream_batch = len(idx) // max(len(train_pairs) // cfg.batch_size, 1)
+        stream_batch = len(idx) // (len(train_pairs) // cfg.batch_size)
     else:
         stream_pairs, stream_batch = train_pairs, cfg.batch_size
     train_iter = prefetch(batch_iterator(
