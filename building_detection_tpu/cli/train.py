@@ -152,6 +152,12 @@ def main(argv=None) -> int:
             idx = dist.local_sample_indices(
                 len(train_pairs), cfg.batch_size, trainer.mesh
             )
+            if len(idx) == 0:
+                raise SystemExit(
+                    f"multi-host training needs at least one complete global "
+                    f"batch ({cfg.batch_size} samples; got {len(train_pairs)}) "
+                    f"and every process must own rows of the data axis"
+                )
             print(f"process {jax.process_index()}: feeding {len(idx)} samples")
             local_pairs = [train_pairs[i] for i in idx]
         else:

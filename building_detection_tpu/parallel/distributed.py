@@ -93,9 +93,7 @@ def _owned_rows(sharding, n_rows: int, row_dim: int) -> np.ndarray:
     return np.asarray(sorted(owned), dtype=np.int64)
 
 
-def local_sample_indices(
-    n_samples: int, batch_size: int, mesh=None
-) -> np.ndarray:
+def local_sample_indices(n_samples: int, batch_size: int, mesh) -> np.ndarray:
     """Global sample indices this process must feed, for a dataset that will
     be iterated in global batches of ``batch_size`` (``fit_arrays`` /
     ``stage_dataset`` order: batch k = samples ``[k*b, (k+1)*b)``).
@@ -104,8 +102,11 @@ def local_sample_indices(
     returns, in feeding order, the union of the rows owned by this process's
     devices across all complete batches.  With one process this is simply
     ``arange(steps * batch_size)``.
+
+    ``mesh`` is required and must be THE mesh the trainer will shard over
+    (``trainer.mesh``): a default-built mesh here could disagree with the
+    trainer's batch-size-capped one and silently assign the wrong rows.
     """
-    mesh = mesh if mesh is not None else pmesh.make_mesh()
     sh = pmesh.data_sharded(mesh, 1)
     batch_rows = _owned_rows(sh, batch_size, 0)
     steps = n_samples // batch_size

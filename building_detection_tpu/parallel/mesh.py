@@ -38,6 +38,21 @@ def make_mesh(
     if data * model != len(devices):
         devices = devices[: data * model]
     arr = np.array(devices).reshape(data, model)
+    if jax.process_count() > 1:
+        # Multi-process: the gcd cap above truncates to the first data*model
+        # GLOBAL devices, and a process whose devices all fell off the end
+        # would own no rows of any sharded array — its feeds would be empty
+        # and the run would die far from the cause.  Fail here, actionably.
+        in_mesh = {d.process_index for d in arr.flat}
+        missing = sorted(set(range(jax.process_count())) - in_mesh)
+        if missing:
+            raise ValueError(
+                f"mesh uses {arr.size} of {len(jax.devices())} global devices "
+                f"and excludes all devices of process(es) {missing} "
+                f"(batch_size={batch_size} caps the data axis at "
+                f"{data}); raise --batch-size to cover the pod or pass "
+                f"--data-parallel explicitly"
+            )
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -502,6 +502,23 @@ class Trainer:
         # produces these, and re-staging them is impossible (the global
         # array is not addressable from any single process).
         pre_staged = isinstance(images_u8, jax.Array)
+        if pre_staged and not (
+            images_u8.ndim == 5
+            and images_u8.shape[1] == cfg.batch_size
+            and isinstance(labels_u8, jax.Array)
+            and labels_u8.ndim == 4
+        ):
+            # an unstaged (N,H,W,C) device batch would otherwise be silently
+            # reinterpreted as (steps, batch, ...) and scanned with batch=H
+            raise ValueError(
+                "device-array inputs to fit_arrays must be PRE-STAGED "
+                f"(steps, batch={cfg.batch_size}, H, W[, C]) pairs as "
+                "produced by stage_dataset / "
+                "parallel.distributed.stage_local_dataset; got images "
+                f"{getattr(images_u8, 'shape', None)} / labels "
+                f"{getattr(labels_u8, 'shape', None)} — pass host numpy "
+                "arrays to let fit_arrays stage them"
+            )
         if shuffle and not pre_staged:
             # one-time sample-level shuffle so staged batches aren't the
             # sorted-file-order ones; per-epoch reshuffle happens below

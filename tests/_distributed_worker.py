@@ -54,10 +54,15 @@ tr = Trainer(tiny_model, cfg, steps_per_epoch=4)
 
 idx = dist.local_sample_indices(len(imgs), cfg.batch_size, tr.mesh)
 assert len(idx) == len(imgs) // nproc, (len(idx), nproc)
+assert dist.is_primary() == (pid == 0)
 staged = dist.stage_local_dataset(tr, imgs[idx], labs[idx])
+# per-process checkpoint dir: a single-writer regression (every process
+# writing) would show up as files in a non-primary dir instead of being
+# masked by same-name overwrites in a shared dir
+ckpt_dir = os.path.join(outdir, f"ckpt_p{pid}")
 history = tr.fit_arrays(
     *staged, val_images=imgs[:8], val_labels=labs[:8],
-    checkpoint_dir=outdir, log_fn=lambda m: None,
+    checkpoint_dir=ckpt_dir, log_fn=lambda m: None,
 )
 
 # every process dumps its (replicated) final variables for bit-comparison

@@ -153,9 +153,14 @@ class TestTwoProcess:
         for a, b in zip(hist, hist2):
             assert abs(a["loss"] - b["loss"]) < 1e-4
             assert abs(a["val_IoU"] - b["val_IoU"]) < 1e-3
-        # the primary wrote per-epoch checkpoints; exactly one writer
-        assert (tmp_path / "epoch_2_weights.npz").exists()
-        assert (tmp_path / "history.json").exists()
+        # exactly one writer: workers use per-process checkpoint dirs, so a
+        # regression where every process writes cannot hide behind same-name
+        # overwrites — the primary's dir has the files, p1's has NOTHING
+        assert (tmp_path / "ckpt_p0" / "epoch_2_weights.npz").exists()
+        assert (tmp_path / "ckpt_p0" / "history.json").exists()
+        p1_dir = tmp_path / "ckpt_p1"
+        p1_writes = list(p1_dir.iterdir()) if p1_dir.exists() else []
+        assert p1_writes == [], f"non-primary process wrote: {p1_writes}"
 
         # streamed multi-host phase (per-process batch generators through
         # Trainer.fit(from_process_local=True)): both processes bit-equal,
