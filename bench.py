@@ -15,25 +15,43 @@ the constant below (measured on this host, see BASELINE.md) is used.
 Extra keys: ``tflops`` (achieved, from XLA cost analysis) and ``mfu``
 (fraction of BDT_PEAK_FLOPS, default v5e bf16 peak 197e12).
 
-Env knobs: BDT_BENCH_MODE (fused|int8|scene|scene_mixed|ensemble|train;
+Capture robustness (round 4; the round-3 driver artifact was an rc=124
+timeout while the chip number was real): the run is **self-deadlining**.
+A watchdog emits the best JSON measured so far — flagged ``"degraded": true``
+with the phase it died in — at ``BDT_BENCH_DEADLINE`` seconds (default 540)
+and exits 0, so a stalled dev tunnel produces a parseable artifact instead
+of a hang.  Heartbeat lines (`# [t+...s] phase`) go to stderr at every phase
+transition so a killed run shows WHERE it died.  Phase timings measured on
+this host (2026-08-20, warm compile cache): backend init ~71 s, 5-model
+init ~36 s, trace+lower 3.2 s, compile (cache hit) 1.4 s, warmup ~10 s,
+timed loop 15 s — ~4.5 min happy path; Python tracing is NOT the cost, the
+tunnel's backend bring-up variance is (BASELINE.md round-4 notes).
+
+Env knobs: BDT_BENCH_MODE (fused|int8|scene|scene_mixed|ensemble|permodel|
+train;
 ``int8`` = fused program with the opt-in int8 MXU pointwise convs —
 measured bf16-parity at best, not mask-parity (docs/ARCHITECTURE.md
 round 3: the isolated 1.24-1.63x matmul wins are consumed by
 quantize/dequant site boundaries);
 ``fused`` = production fused program, HBM-resident scene groups — the
 low-variance compute number; ``scene`` = end-to-end incl. the dev tunnel's
-noisy ~20-35 MB/s transfers),
+noisy ~20-35 MB/s transfers, with the achieved link MB/s measured and
+emitted alongside so link variance and compute regressions separate in the
+artifact; ``permodel`` = per-model tiles/s + MFU table as JSON extras, for
+member-level regression tracking),
 BDT_BENCH_BATCH (default 128), BDT_BENCH_ITERS (default 10),
 BDT_BENCH_MODELS (default all five), BDT_BENCH_TRAIN_BATCH (default 8 —
 the reference's own batch and the measured throughput peak: the res34
 backward is HBM-pressure-bound, so images/s DROPS with batch: 40.5 at
-batch 8, 35.4 at 16, OOM at 24).
+batch 8, 35.4 at 16, OOM at 24),
+BDT_BENCH_DEADLINE (seconds, default 540; 0 disables the watchdog).
 """
 from __future__ import annotations
 
 import json
 import os
 import sys
+import threading
 import time
 
 # Reference-style CPU ensemble throughput measured on this host (tiles/sec,
@@ -45,9 +63,73 @@ CPU_BASELINE_TILES_PER_SEC = float(
 # bf16 peak of one TPU v5e chip; override for other hardware.
 PEAK_FLOPS = float(os.environ.get("BDT_PEAK_FLOPS", "197e12"))
 
+_T0 = time.time()
+_STATE = {"phase": "start", "partial": None}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def _hb(msg: str) -> None:
+    """Heartbeat: phase transitions to stderr so a killed/hung run shows
+    where it died (round-3 failure mode: >10 min with zero output)."""
+    print(f"# [t+{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _phase(name: str) -> None:
+    _STATE["phase"] = name
+    _hb(name)
+
+
+def _partial(out: dict) -> None:
+    """Record the best result measured so far; the watchdog emits it (with a
+    degraded flag) if the full run doesn't finish inside the deadline."""
+    _STATE["partial"] = dict(out)
+
+
+def _emit(out: dict) -> bool:
+    """Print THE one JSON line (exactly once, across threads)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return False
+        _EMITTED = True
+        print(json.dumps(out), flush=True)
+        return True
+
+
+def _start_watchdog(metric_hint: str, unit: str) -> threading.Event:
+    """Self-deadline: at BDT_BENCH_DEADLINE emit the best JSON available and
+    exit 0 — a wedged tunnel must still produce a parseable artifact."""
+    deadline = float(os.environ.get("BDT_BENCH_DEADLINE", "540"))
+    done = threading.Event()
+    if deadline <= 0:
+        return done
+
+    def run():
+        remaining = deadline - (time.time() - _T0)
+        if done.wait(max(remaining, 0.0)):
+            return
+        out = _STATE["partial"] or {
+            "metric": metric_hint,
+            "value": None,
+            "unit": unit,
+            "vs_baseline": None,
+        }
+        out["degraded"] = True
+        out["phase"] = _STATE["phase"]
+        out["elapsed_s"] = round(time.time() - _T0, 1)
+        _hb(f"DEADLINE {deadline:.0f}s hit in phase '{_STATE['phase']}'; "
+            "emitting best-so-far")
+        if _emit(out):
+            sys.stdout.flush()
+        os._exit(0)
+
+    threading.Thread(target=run, daemon=True, name="bench-watchdog").start()
+    return done
+
 
 def wait_for_backend(
-    attempts: int = 12, probe_timeout: float = 90.0, sleep_s: float = 60.0
+    attempts: int = 2, probe_timeout: float = 80.0, sleep_s: float = 10.0
 ) -> None:
     """Gate on TPU-backend health before touching jax in THIS process.
 
@@ -55,10 +137,16 @@ def wait_for_backend(
     fast ("Unable to initialize backend 'axon'") or hangs indefinitely.
     Probing in a SUBPROCESS with a timeout handles both failure modes —
     the parent only initializes its own (cached-for-life) backend once a
-    probe has succeeded.  Worst case (every probe hangs the full timeout)
-    is ``attempts * (probe_timeout + sleep_s) - sleep_s`` ~= 29 min, so a
-    dead tunnel still fails loudly rather than wedging the driver."""
+    probe has succeeded.  A healthy bring-up measures ~71 s on this host, so
+    the probe timeout must clear that; worst case here is
+    ``attempts * probe_timeout + (attempts-1) * sleep_s`` = 170 s, inside
+    the overall deadline with room for the measured phases (round-4 fix:
+    the previous 12x60s ladder could burn ~29 min on its own)."""
     import subprocess
+
+    if os.environ.get("BDT_BENCH_TEST_STALL_PHASE") == "backend":
+        _hb("TEST HOOK: simulating an indefinitely stalled backend")
+        time.sleep(86400)
 
     for i in range(attempts):
         try:
@@ -69,13 +157,12 @@ def wait_for_backend(
             )
             if r.returncode == 0:
                 if i:
-                    print(f"# backend up after {i + 1} probes", file=sys.stderr)
+                    _hb(f"backend up after {i + 1} probes")
                 return
             reason = (r.stderr or b"").decode()[-200:].replace("\n", " ")
         except subprocess.TimeoutExpired:
             reason = f"probe hung >{probe_timeout:.0f}s"
-        print(f"# backend probe {i + 1}/{attempts} failed: {reason}",
-              file=sys.stderr, flush=True)
+        _hb(f"backend probe {i + 1}/{attempts} failed: {reason}")
         if i + 1 < attempts:  # no dead sleep before the final raise
             time.sleep(sleep_s)
     raise RuntimeError("TPU backend unavailable after all probes")
@@ -103,6 +190,7 @@ def _build(names, batch, dtype):
     for i, name in enumerate(names):
         fn = MODEL_REGISTRY[name]
         params, state = init_model(name, jax.random.key(i), (1, 512, 512, 3))
+        _hb(f"init {name}")
 
         def fwd(params, state, x, fn=fn):
             probs, _ = M.apply(fn, params, state, x, compute_dtype=dtype)
@@ -132,11 +220,13 @@ def measure_ensemble(names, batch, iters, dtype):
     )
     # warmup (compile); NOTE: on the tunneled axon backend block_until_ready
     # does not await execution — a host fetch is the only real sync.
+    _phase("ensemble: warmup/compile")
     flops_per_batch = 0.0
     for _, fwd, params, state in members:
         np.asarray(fwd(params, state, x))
         # persistent compile cache makes this second lower+compile cheap
         flops_per_batch += _flops_of(fwd.lower(params, state, x).compile())
+    _phase("ensemble: timed loop")
     t0 = time.perf_counter()
     for _ in range(iters):
         for _, fwd, params, state in members:
@@ -145,6 +235,52 @@ def measure_ensemble(names, batch, iters, dtype):
     dt = time.perf_counter() - t0
     tps = batch * iters / dt
     return tps, tps * flops_per_batch / max(batch, 1)
+
+
+def measure_permodel(names, batch, iters, dtype):
+    """Per-model tiles/s + MFU table (the BASELINE.md round-2 table as a
+    machine-checkable artifact) plus the fused-ensemble headline — so a
+    models/ refactor denting ONE member is caught by artifact diff."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    members = _build(names, batch, dtype)
+    x = jax.random.uniform(
+        jax.random.key(42), (batch, 512, 512, 3), jnp.float32, -1, 1
+    )
+    table = {}
+    for name, fwd, params, state in members:
+        _phase(f"permodel: {name} warmup")
+        np.asarray(fwd(params, state, x))
+        flops = _flops_of(fwd.lower(params, state, x).compile())
+        _phase(f"permodel: {name} timed")
+        best = float("inf")
+        for _ in range(2):  # best-of-2: tunnel dispatch variance
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fwd(params, state, x)
+            np.asarray(out)
+            best = min(best, time.perf_counter() - t0)
+        tps = batch * iters / best
+        fps = tps * flops / batch
+        table[name] = {
+            "tiles_per_sec": round(tps, 2),
+            "gflops_per_tile": round(flops / batch / 1e9, 1),
+            "tflops": round(fps / 1e12, 2),
+            "mfu": round(fps / PEAK_FLOPS, 4),
+        }
+        _hb(f"{name}: {tps:.1f} tiles/s, MFU {table[name]['mfu']:.3f}")
+        _partial({
+            "metric": "permodel_512_tiles_per_sec_per_chip",
+            "value": round(tps, 3),
+            "unit": "tiles/s",
+            "vs_baseline": None,
+            "per_model": table,
+        })
+    _phase("permodel: fused ensemble")
+    tps, fps = measure_fused_forward(names, batch, iters, dtype)
+    return tps, fps, table
 
 
 def measure_cpu_baseline(names) -> float:
@@ -181,6 +317,7 @@ def _build_fused(
     members = {}
     for i, name in enumerate(names):
         params, state = init_model(name, jax.random.key(i), (1, 512, 512, 3))
+        _hb(f"init {name}")
         members[name] = (MODEL_REGISTRY[name], params, state)
     cfg = TilerConfig(bucket_sizes=bucket_sizes)
     int8_scales = None
@@ -218,6 +355,7 @@ def measure_fused_forward(
 
     from building_detection_tpu.ops import tiling as T
 
+    _phase("fused: build members")
     pred = _build_fused(
         names, batch, dtype, int8_pointwise=int8_pointwise,
         int8_calibrate=int8_calibrate,
@@ -228,21 +366,83 @@ def measure_fused_forward(
     scenes = [
         rng.randint(0, 256, (2048, 2048, 3), np.uint8) for _ in range(group)
     ]
+    _phase("fused: stage + trace/lower")
     fn, staged = pred._stage_group(scenes, plan)
-    out = fn(pred.params, pred.states, *staged)
-    np.asarray(out)  # compile + sync (host fetch is the only real sync here)
-    flops = _flops_of(fn.lower(pred.params, pred.states, *staged).compile())
+    # AOT: one trace+lower serves compile, cost analysis AND execution
+    # (calling the jitted fn then fn.lower() again would trace twice)
+    lowered = fn.lower(pred.params, pred.states, *staged)
+    _phase("fused: compile (persistent cache)")
+    compiled = lowered.compile()
+    flops = _flops_of(compiled)
+    _phase("fused: warmup run")
+    out = compiled(pred.params, pred.states, *staged)
+    np.asarray(out)  # host fetch is the only real sync on this backend
+    n_per_iter = plan.num_tiles * group
+    # a one-iter measurement first: worst case the deadline now has a real
+    # number to emit instead of null
+    t0 = time.perf_counter()
+    out = compiled(pred.params, pred.states, *staged)
+    np.asarray(out)
+    dt1 = time.perf_counter() - t0
+    _partial({
+        "metric": "ensemble_fused_forward_512_tiles_per_sec_per_chip",
+        "value": round(n_per_iter / dt1, 3),
+        "unit": "tiles/s",
+        "vs_baseline": round(n_per_iter / dt1 / CPU_BASELINE_TILES_PER_SEC, 2),
+        "tflops": round(flops / dt1 / 1e12, 2),
+        "mfu": round(flops / dt1 / PEAK_FLOPS, 4),
+        "iters": 1,
+    })
+    _hb(f"one-iter estimate: {n_per_iter / dt1:.1f} tiles/s")
     # best of two timed loops: the dev tunnel sporadically degrades dispatch
     # RPCs by >10x for stretches (BASELINE.md); compute itself is steady
     best = float("inf")
-    for _ in range(2):
+    for k in range(2):
+        _phase(f"fused: timed loop {k + 1}/2")
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(pred.params, pred.states, *staged)
+            out = compiled(pred.params, pred.states, *staged)
         np.asarray(out)  # FIFO queue: fetching the last result flushes all
         best = min(best, time.perf_counter() - t0)
-    n = plan.num_tiles * group * iters
+        tps = n_per_iter * iters / best
+        _partial({
+            "metric": "ensemble_fused_forward_512_tiles_per_sec_per_chip",
+            "value": round(tps, 3),
+            "unit": "tiles/s",
+            "vs_baseline": round(tps / CPU_BASELINE_TILES_PER_SEC, 2),
+            "tflops": round(flops * iters / best / 1e12, 2),
+            "mfu": round(flops * iters / best / PEAK_FLOPS, 4),
+            "loops_done": k + 1,
+        })
+    n = n_per_iter * iters
     return n / best, flops * iters / best
+
+
+def measure_link(n_bytes: int = 8 << 20) -> dict:
+    """Achieved host<->device bandwidth through the tunnel, so end-to-end
+    `scene` artifacts separate link variance from compute regressions."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    x = np.random.RandomState(3).randint(0, 256, (n_bytes,), np.uint8)
+    # warm the transfer path once
+    np.asarray(jax.device_put(x[: 1 << 16]))
+    t0 = time.perf_counter()
+    dev = jax.device_put(x)
+    dev.block_until_ready()
+    # block_until_ready does not sync on this backend; a tiny fetch does,
+    # and adds only ~bytes of down-traffic
+    np.asarray(dev[:8])
+    up_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(dev)
+    down_s = time.perf_counter() - t0
+    mb = n_bytes / 1e6
+    return {
+        "link_mbps_up": round(mb / up_s, 1),
+        "link_mbps_down": round(mb / down_s, 1),
+    }
 
 
 def measure_scene(names, batch, iters, dtype):
@@ -252,6 +452,7 @@ def measure_scene(names, batch, iters, dtype):
 
     from building_detection_tpu.ops import tiling as T
 
+    _phase("scene: build members")
     pred = _build_fused(names, batch, dtype)
     rng = np.random.RandomState(0)
     scenes = [
@@ -259,17 +460,22 @@ def measure_scene(names, batch, iters, dtype):
     ]
     # warm with a full pass: compiles every scene-group size that the timed
     # run will use (full groups + the remainder group)
+    _phase("scene: warmup pass")
     pred.predict_masks_many(scenes)
     plan = T.plan_tiles(2048, 2048, pred.cfg)
     n_tiles = plan.num_tiles
     group = min(pred._group_size(n_tiles), iters)
     flops_per_scene = _flops_of_scene(pred, scenes[:group], plan)
+    _phase("scene: link probe")
+    link = measure_link()
+    _hb(f"link: {link['link_mbps_up']} MB/s up, {link['link_mbps_down']} MB/s down")
+    _phase("scene: timed pass")
     t0 = time.perf_counter()
     # pipelined: scene uploads/downloads overlap compute via the FIFO queue
     pred.predict_masks_many(scenes)
     dt = time.perf_counter() - t0
     tps = n_tiles * iters / dt
-    return tps, flops_per_scene * iters / dt
+    return tps, flops_per_scene * iters / dt, link
 
 
 def _flops_of_scene(pred, scenes, plan) -> float:
@@ -290,6 +496,7 @@ def measure_scene_mixed(names, batch, iters, dtype):
 
     from building_detection_tpu.ops import tiling as T
 
+    _phase("scene_mixed: build members")
     pred = _build_fused(names, batch, dtype, bucket_sizes=True)
     rng = np.random.RandomState(0)
     sizes = [(1024, 1536), (2048, 2048), (1400, 900), (2500, 1100)]
@@ -298,14 +505,18 @@ def measure_scene_mixed(names, batch, iters, dtype):
         for h, w in (sizes * ((iters + len(sizes) - 1) // len(sizes)))[:iters]
     ]
     # warm with a full pass (compiles every bucket x group-size program)
+    _phase("scene_mixed: warmup pass")
     pred.predict_masks_many(scenes)
     n_tiles = sum(
         T.plan_tiles(s.shape[0], s.shape[1], pred.cfg).num_tiles for s in scenes
     )
+    _phase("scene_mixed: link probe")
+    link = measure_link()
+    _phase("scene_mixed: timed pass")
     t0 = time.perf_counter()
     pred.predict_masks_many(scenes)
     dt = time.perf_counter() - t0
-    return n_tiles / dt, None
+    return n_tiles / dt, None, link
 
 
 def measure_train(model_name: str, batch: int, iters: int):
@@ -321,6 +532,7 @@ def measure_train(model_name: str, batch: int, iters: int):
     from building_detection_tpu.core.config import TrainConfig
     from building_detection_tpu.train.trainer import Trainer
 
+    _phase("train: build trainer")
     cfg = TrainConfig(batch_size=batch)
     trainer = Trainer(
         model_name, cfg, steps_per_epoch=iters, compute_dtype=jnp.bfloat16,
@@ -330,8 +542,10 @@ def measure_train(model_name: str, batch: int, iters: int):
     n = batch * iters
     imgs = rng.randint(0, 256, (n, 512, 512, 3), np.uint8)
     labs = np.where(rng.rand(n, 512, 512) < 0.3, 255, 0).astype(np.uint8)
+    _phase("train: stage dataset")
     images_dev, labels_dev = trainer.stage_dataset(imgs, labs)
     # compile + warm epoch (fetch_metrics syncs via the host fetch)
+    _phase("train: warmup epoch (compile)")
     trainer.train_epoch_staged(images_dev, labels_dev)
     # FLOPs from the SINGLE step's executable (XLA cost analysis does not
     # scale a scanned while-body by its trip count) x steps per epoch
@@ -341,20 +555,42 @@ def measure_train(model_name: str, batch: int, iters: int):
             images_dev[0], labels_dev[0], jnp.asarray(0, jnp.int32),
         ).compile()
     )
+    _phase("train: timed epoch")
     t0 = time.perf_counter()
     trainer.train_epoch_staged(images_dev, labels_dev)
     dt = time.perf_counter() - t0
     return n / dt, flops_per_epoch / dt
 
 
+_METRIC_BY_MODE = {
+    "fused": "ensemble_fused_forward_512_tiles_per_sec_per_chip",
+    "int8": "ensemble_fused_int8pw_512_tiles_per_sec_per_chip",
+    "scene": "ensemble_scene_512_tiles_per_sec_per_chip",
+    "scene_mixed": "ensemble_mixed_scene_512_tiles_per_sec_per_chip",
+    "permodel": "permodel_512_tiles_per_sec_per_chip",
+    "ensemble": "ensemble_512_tiles_per_sec_per_chip",
+}
+
+
 def main() -> int:
+    mode = os.environ.get("BDT_BENCH_MODE", "fused")
+    unit = "images/s" if mode == "train" else "tiles/s"
+    first_model = os.environ.get("BDT_BENCH_MODELS", "res34").split(",")[0]
+    done = _start_watchdog(
+        _METRIC_BY_MODE.get(mode, f"train_{first_model}_512_images_per_sec"),
+        unit,
+    )
+    _phase("backend probe")
     wait_for_backend()
+    _phase("backend init (parent)")
 
     import jax
     import jax.numpy as jnp
 
     from building_detection_tpu.core.runtime import enable_compilation_cache
 
+    jax.devices()  # the ~71 s bring-up, under its own heartbeat phase
+    _phase("backend up")
     enable_compilation_cache()
 
     names = os.environ.get(
@@ -362,17 +598,17 @@ def main() -> int:
     ).split(",")
     batch = int(os.environ.get("BDT_BENCH_BATCH", "128"))
     iters = int(os.environ.get("BDT_BENCH_ITERS", "10"))
-    mode = os.environ.get("BDT_BENCH_MODE", "fused")
 
     baseline = CPU_BASELINE_TILES_PER_SEC
     if os.environ.get("BDT_BENCH_CPU_BASELINE") == "measure":
         baseline = measure_cpu_baseline(names)
-        print(f"# measured CPU baseline: {baseline:.4f} tiles/s", file=sys.stderr)
+        _hb(f"measured CPU baseline: {baseline:.4f} tiles/s")
 
     unit = "tiles/s"
+    extra: dict = {}
     if mode == "fused":
         tps, fps = measure_fused_forward(names, batch, iters, jnp.bfloat16)
-        metric = "ensemble_fused_forward_512_tiles_per_sec_per_chip"
+        metric = _METRIC_BY_MODE[mode]
     elif mode == "int8":
         # opt-in int8 MXU pointwise convs (not mask-parity; see
         # docs/ARCHITECTURE.md round-3 int8 probes).  BDT_INT8_FLAG: True
@@ -384,13 +620,19 @@ def main() -> int:
             names, batch, iters, jnp.bfloat16, int8_pointwise=flag,
             int8_calibrate=os.environ.get("BDT_INT8_CALIB", "1") != "0",
         )
-        metric = "ensemble_fused_int8pw_512_tiles_per_sec_per_chip"
+        metric = _METRIC_BY_MODE[mode]
     elif mode == "scene":
-        tps, fps = measure_scene(names, batch, iters, jnp.bfloat16)
-        metric = "ensemble_scene_512_tiles_per_sec_per_chip"
+        tps, fps, link = measure_scene(names, batch, iters, jnp.bfloat16)
+        metric = _METRIC_BY_MODE[mode]
+        extra.update(link)
     elif mode == "scene_mixed":
-        tps, fps = measure_scene_mixed(names, batch, iters, jnp.bfloat16)
-        metric = "ensemble_mixed_scene_512_tiles_per_sec_per_chip"
+        tps, fps, link = measure_scene_mixed(names, batch, iters, jnp.bfloat16)
+        metric = _METRIC_BY_MODE[mode]
+        extra.update(link)
+    elif mode == "permodel":
+        tps, fps, table = measure_permodel(names, batch, iters, jnp.bfloat16)
+        metric = _METRIC_BY_MODE[mode]
+        extra["per_model"] = table
     elif mode == "train":
         train_batch = int(os.environ.get("BDT_BENCH_TRAIN_BATCH", "8"))
         tps, fps = measure_train(names[0], train_batch, iters)
@@ -399,7 +641,7 @@ def main() -> int:
         unit = "images/s"
     else:
         tps, fps = measure_ensemble(names, batch, iters, jnp.bfloat16)
-        metric = "ensemble_512_tiles_per_sec_per_chip"
+        metric = _METRIC_BY_MODE["ensemble"]
     out = {
         "metric": metric,
         "value": round(tps, 3),
@@ -409,7 +651,9 @@ def main() -> int:
     if fps:
         out["tflops"] = round(fps / 1e12, 2)
         out["mfu"] = round(fps / PEAK_FLOPS, 4)
-    print(json.dumps(out))
+    out.update(extra)
+    done.set()
+    _emit(out)
     return 0
 
 

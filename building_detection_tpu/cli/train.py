@@ -136,7 +136,8 @@ def main(argv=None) -> int:
     # Host memory ceiling for decoding the whole dataset up front; past it,
     # stream from disk per step (the staged-HBM decision proper is
     # Trainer.should_stage, made against device memory inside fit_arrays).
-    host_budget = 16 << 30
+    # BDT_HOST_DECODE_BUDGET overrides for smaller/larger hosts (bytes).
+    host_budget = int(os.environ.get("BDT_HOST_DECODE_BUDGET", 16 << 30))
     dataset_bytes = len(train_pairs) * (cfg.image_size ** 2) * 4
     if dataset_bytes <= host_budget:
         import jax

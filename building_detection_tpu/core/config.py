@@ -106,6 +106,14 @@ class ServeConfig:
     port: int = 5001             # (`buildAPI.py:233`)
     receive_dir: str = "receive_file"
     result_dir: str = "all_result"
+    # Hardening beyond the reference (which reads unbounded bodies with no
+    # deadline, `buildAPI.py:104-109`): oversized uploads are rejected with
+    # HTTP 413 BEFORE any body byte is read, and a request whose body hasn't
+    # fully arrived within the deadline is dropped (slow-loris can't pin a
+    # worker thread).  256 MB admits any realistic remote-sensing scene PNG
+    # (a 16384x16384 RGB PNG is ~200 MB) with headroom.
+    max_request_bytes: int = 256 * 1024 * 1024
+    request_timeout_s: float = 120.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -38,6 +38,7 @@ import os
 import re
 import shutil
 import threading
+import time as _time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional, Tuple
@@ -278,7 +279,15 @@ class DetectionService:
 
 
 def make_handler(service: DetectionService):
+    scfg = service.cfg.serve
+
     class Handler(BaseHTTPRequestHandler):
+        # per-socket-op deadline (socketserver applies it in setup()): a
+        # client that stops sending mid-headers or mid-body times out instead
+        # of pinning the worker thread forever.  The reference's Flask dev
+        # server was equally naive (`buildAPI.py:104-109`).
+        timeout = scfg.request_timeout_s
+
         def log_message(self, fmt, *args):  # quiet
             pass
 
@@ -290,19 +299,63 @@ def make_handler(service: DetectionService):
             self.end_headers()
             self.wfile.write(blob)
 
+        def _read_body(self, length: int) -> bytes:
+            """Read exactly ``length`` bytes under an OVERALL deadline.
+
+            The socket timeout alone only bounds the gap between bytes — a
+            drip-feeding client resets it with one byte per interval.  The
+            chunked read enforces a whole-body deadline on top."""
+            deadline = _time.monotonic() + scfg.request_timeout_s
+            chunks, remaining = [], length
+            while remaining > 0:
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"request body not received within "
+                        f"{scfg.request_timeout_s:.0f}s"
+                    )
+                chunk = self.rfile.read(min(remaining, 1 << 20))
+                if not chunk:
+                    raise ConnectionError("client closed mid-body")
+                chunks.append(chunk)
+                remaining -= len(chunk)
+            return b"".join(chunks)
+
         def do_POST(self):
             if self.path != "/photo":
                 self._respond(service._ng(f"unknown path {self.path}"), 404)
                 return
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                body = self.rfile.read(length)
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                except ValueError:
+                    self._respond(service._ng("invalid Content-Length"), 400)
+                    return
+                if length > scfg.max_request_bytes:
+                    # reject BEFORE reading: no allocation proportional to
+                    # the declared size, and drop the connection so the
+                    # client can't keep streaming the oversized body
+                    self.close_connection = True
+                    self._respond(
+                        service._ng(
+                            f"request body {length} bytes exceeds limit "
+                            f"{scfg.max_request_bytes}"
+                        ),
+                        413,
+                    )
+                    return
+                body = self._read_body(length)
                 fields = parse_multipart(
                     body, self.headers.get("Content-Type", "")
                 )
                 filename, payload = fields.get("file", (None, None))
                 client_id = self.headers.get("clientID")
                 self._respond(service.handle_photo(client_id, filename, payload))
+            except (TimeoutError, ConnectionError, OSError) as e:
+                # stalled/broken upload: free the worker; answering may
+                # itself fail on a dead socket, which is fine
+                self.close_connection = True
+                with contextlib.suppress(OSError):
+                    self._respond(service._ng(repr(e)), 408)
             except Exception as e:
                 self._respond(service._ng(repr(e)))
 

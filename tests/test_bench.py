@@ -1,0 +1,76 @@
+"""bench.py capture robustness: a stalled TPU tunnel must still produce ONE
+parseable JSON artifact line within the deadline (round-3 driver artifact was
+an rc=124 timeout with zero output while the chip number was real)."""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestBenchDeadline:
+    def test_stalled_backend_still_emits_json_within_deadline(self):
+        """BDT_BENCH_TEST_STALL_PHASE=backend simulates the tunnel's
+        hang-forever failure mode before any backend touch; the watchdog must
+        emit a degraded-but-valid JSON line and exit 0 at the deadline."""
+        env = dict(os.environ)
+        env["BDT_BENCH_TEST_STALL_PHASE"] = "backend"
+        env["BDT_BENCH_DEADLINE"] = "5"
+        t0 = time.monotonic()
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=60,
+        )
+        elapsed = time.monotonic() - t0
+        assert r.returncode == 0, r.stderr[-500:]
+        assert elapsed < 30, f"watchdog fired late: {elapsed:.1f}s"
+        json_lines = [
+            ln for ln in r.stdout.splitlines() if ln.startswith("{")
+        ]
+        assert len(json_lines) == 1, r.stdout
+        out = json.loads(json_lines[0])
+        # the driver contract keys are all present even in degradation
+        assert {"metric", "value", "unit", "vs_baseline"} <= set(out)
+        assert out["degraded"] is True
+        assert out["phase"] == "backend probe"
+        assert out["elapsed_s"] >= 5
+        # heartbeats recorded WHERE it was when the deadline hit
+        assert "backend probe" in r.stderr
+        assert "DEADLINE" in r.stderr
+
+    def test_happy_path_emits_exactly_once(self, monkeypatch):
+        """_emit is exactly-once across the watchdog/main race."""
+        sys.path.insert(0, REPO)
+        try:
+            import importlib
+
+            import bench as bench_mod
+
+            bench = importlib.reload(bench_mod)
+            assert bench._emit({"a": 1}) is True
+            assert bench._emit({"a": 2}) is False
+        finally:
+            sys.path.remove(REPO)
+
+    def test_worst_case_probe_budget_within_deadline(self):
+        """wait_for_backend's worst case must fit the default deadline with
+        room for the measured phases (~4.5 min happy path)."""
+        import inspect
+
+        sys.path.insert(0, REPO)
+        try:
+            import importlib
+
+            import bench as bench_mod
+
+            bench = importlib.reload(bench_mod)
+            sig = inspect.signature(bench.wait_for_backend)
+            attempts = sig.parameters["attempts"].default
+            probe = sig.parameters["probe_timeout"].default
+            sleep = sig.parameters["sleep_s"].default
+            worst = attempts * probe + (attempts - 1) * sleep
+            assert worst <= 180, f"probe worst case {worst}s exceeds 3 min"
+        finally:
+            sys.path.remove(REPO)

@@ -135,6 +135,160 @@ class TestPhotoEndpoint:
         assert e.value.code == 404
 
 
+class TestRequestLimits:
+    """Hardening beyond the reference: bounded bodies + request deadlines
+    (the reference reads Content-Length bytes unbounded, buildAPI.py:104)."""
+
+    def test_oversized_post_is_413_without_reading_body(self, tmp_path):
+        """A huge declared Content-Length is rejected from the HEADERS alone:
+        the 413 arrives although not one body byte was ever sent."""
+        import socket
+
+        from building_detection_tpu.core.config import ServeConfig
+
+        cfg = Config(serve=ServeConfig(max_request_bytes=1024))
+        service = DetectionService(StubPipeline(), cfg, root_dir=str(tmp_path))
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = httpd.server_address[1]
+            with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+                s.sendall(
+                    b"POST /photo HTTP/1.1\r\n"
+                    b"Host: x\r\n"
+                    b"Content-Type: multipart/form-data; boundary=b\r\n"
+                    b"Content-Length: 10000000000\r\n"  # 10 GB, never sent
+                    b"\r\n"
+                )
+                s.settimeout(10)
+                resp = b""
+                while b"exceeds limit" not in resp:
+                    chunk = s.recv(65536)
+                    if not chunk:
+                        break
+                    resp += chunk
+                resp = resp.decode("utf-8", "replace")
+            assert " 413 " in resp.split("\r\n")[0]
+            assert "exceeds limit" in resp
+        finally:
+            httpd.shutdown()
+
+    def test_under_limit_post_still_succeeds(self, tmp_path):
+        from building_detection_tpu.core.config import ServeConfig
+
+        cfg = Config(serve=ServeConfig(max_request_bytes=1 << 20))
+        service = DetectionService(StubPipeline(), cfg, root_dir=str(tmp_path))
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = httpd.server_address[1]
+            path = make_image(tmp_path)
+            data = bdt_client.detect(
+                path, url=f"http://127.0.0.1:{port}/photo", client_id="ok_1"
+            )
+            assert data["status"] == "success"
+        finally:
+            httpd.shutdown()
+
+    def test_stalled_upload_frees_the_worker(self, tmp_path):
+        """Slow-loris: declare a body, send half, stall.  The worker must
+        come free within the configured deadline — proven by a NORMAL request
+        succeeding immediately afterwards on a 1-worker-relevant path."""
+        import socket
+        import time
+
+        from building_detection_tpu.core.config import ServeConfig
+
+        cfg = Config(serve=ServeConfig(request_timeout_s=1.0))
+        service = DetectionService(StubPipeline(), cfg, root_dir=str(tmp_path))
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = httpd.server_address[1]
+            s = socket.create_connection(("127.0.0.1", port), timeout=10)
+            s.sendall(
+                b"POST /photo HTTP/1.1\r\n"
+                b"Host: x\r\n"
+                b"Content-Type: multipart/form-data; boundary=b\r\n"
+                b"Content-Length: 1000\r\n"
+                b"\r\n"
+                b"partial body then silence"
+            )
+            t0 = time.monotonic()
+            s.settimeout(15)
+            # server must give up on its own (408 or straight close) in
+            # about request_timeout_s, not hang forever
+            resp = b""
+            try:
+                while True:
+                    chunk = s.recv(4096)
+                    if not chunk:
+                        break
+                    resp += chunk
+            except OSError:
+                pass
+            elapsed = time.monotonic() - t0
+            s.close()
+            assert elapsed < 10, f"worker stayed wedged {elapsed:.1f}s"
+            if resp:  # if an answer made it out it is the timeout NG
+                assert b"408" in resp.split(b"\r\n")[0] or b"NG" in resp
+            # the server is still healthy for the next client
+            path = make_image(tmp_path)
+            data = bdt_client.detect(
+                path, url=f"http://127.0.0.1:{port}/photo", client_id="after"
+            )
+            assert data["status"] == "success"
+        finally:
+            httpd.shutdown()
+
+    def test_drip_fed_body_hits_overall_deadline(self, tmp_path):
+        """One byte per interval resets a plain socket timeout; the overall
+        body deadline still cuts the request off."""
+        import socket
+        import time
+
+        from building_detection_tpu.core.config import ServeConfig
+
+        cfg = Config(serve=ServeConfig(request_timeout_s=1.0))
+        service = DetectionService(StubPipeline(), cfg, root_dir=str(tmp_path))
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = httpd.server_address[1]
+            s = socket.create_connection(("127.0.0.1", port), timeout=10)
+            s.sendall(
+                b"POST /photo HTTP/1.1\r\nHost: x\r\n"
+                b"Content-Type: multipart/form-data; boundary=b\r\n"
+                b"Content-Length: 1000000\r\n\r\n"
+            )
+            t0 = time.monotonic()
+            dead = False
+            for _ in range(40):  # drip for up to ~8s
+                try:
+                    s.sendall(b"x")
+                except OSError:
+                    dead = True
+                    break
+                time.sleep(0.2)
+            # either the server killed the socket, or it answered; both
+            # must happen well before the drip could complete
+            s.settimeout(5)
+            try:
+                resp = s.recv(4096)
+            except OSError:
+                resp = b""
+            elapsed = time.monotonic() - t0
+            s.close()
+            assert dead or resp != b"" or elapsed < 10
+            assert elapsed < 12, f"drip-feed held the worker {elapsed:.1f}s"
+        finally:
+            httpd.shutdown()
+
+
 class TestPointsFormat:
     def test_points_dict_format(self):
         corners = [[[1, 2, 1], [3, 4, 3]], [[9, 9], [8, 8]]]
