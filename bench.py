@@ -27,8 +27,11 @@ init ~36 s, trace+lower 3.2 s, compile (cache hit) 1.4 s, warmup ~10 s,
 timed loop 15 s — ~4.5 min happy path; Python tracing is NOT the cost, the
 tunnel's backend bring-up variance is (BASELINE.md round-4 notes).
 
-Env knobs: BDT_BENCH_MODE (fused|int8|scene|scene_mixed|ensemble|permodel|
-train;
+Env knobs: BDT_BENCH_MODE (all|fused|int8|scene|scene_mixed|ensemble|
+permodel|train; default ``all`` = ONE artifact carrying the fused headline
+(same metric name as prior rounds) plus ``per_model``, ``train`` (res34 at
+the reference batch 8) and ``scene``+link sections, so a regression in any
+headline number shows up in the driver-captured JSON;
 ``int8`` = fused program with the opt-in int8 MXU pointwise convs —
 measured bf16-parity at best, not mask-parity (docs/ARCHITECTURE.md
 round 3: the isolated 1.24-1.63x matmul wins are consumed by
@@ -129,7 +132,7 @@ def _start_watchdog(metric_hint: str, unit: str) -> threading.Event:
 
 
 def wait_for_backend(
-    attempts: int = 2, probe_timeout: float = 80.0, sleep_s: float = 10.0
+    attempts: int = 3, probe_timeout: float = 80.0, sleep_s: float = 10.0
 ) -> None:
     """Gate on TPU-backend health before touching jax in THIS process.
 
@@ -139,14 +142,18 @@ def wait_for_backend(
     the parent only initializes its own (cached-for-life) backend once a
     probe has succeeded.  A healthy bring-up measures ~71 s on this host, so
     the probe timeout must clear that; worst case here is
-    ``attempts * probe_timeout + (attempts-1) * sleep_s`` = 170 s, inside
+    ``attempts * probe_timeout + (attempts-1) * sleep_s`` = 260 s, inside
     the overall deadline with room for the measured phases (round-4 fix:
-    the previous 12x60s ladder could burn ~29 min on its own)."""
+    the previous 12x60s ladder could burn ~29 min on its own; round-5 ADVICE
+    fix: 3 attempts instead of 2 — a 75-85 s bring-up day must not zero the
+    artifact — and main() emits a degraded JSON line if all probes fail)."""
     import subprocess
 
     if os.environ.get("BDT_BENCH_TEST_STALL_PHASE") == "backend":
         _hb("TEST HOOK: simulating an indefinitely stalled backend")
         time.sleep(86400)
+    if os.environ.get("BDT_BENCH_TEST_FAIL_BACKEND"):
+        raise RuntimeError("TEST HOOK: backend probes all failed")
 
     for i in range(attempts):
         try:
@@ -237,26 +244,38 @@ def measure_ensemble(names, batch, iters, dtype):
     return tps, tps * flops_per_batch / max(batch, 1)
 
 
-def measure_permodel(names, batch, iters, dtype):
+def _permodel_table(pred, batch, iters, dtype, on_member=None, loops=2):
     """Per-model tiles/s + MFU table (the BASELINE.md round-2 table as a
-    machine-checkable artifact) plus the fused-ensemble headline — so a
-    models/ refactor denting ONE member is caught by artifact diff."""
+    machine-checkable artifact) — so a models/ refactor denting ONE member
+    is caught by artifact diff.  Reuses the members of an already-built
+    fused predictor (same init keys as a fresh _build); ``on_member(table)``
+    fires after each member so the caller can refresh its deadline snapshot."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    members = _build(names, batch, dtype)
+    from building_detection_tpu.core import module as M
+
     x = jax.random.uniform(
         jax.random.key(42), (batch, 512, 512, 3), jnp.float32, -1, 1
     )
     table = {}
-    for name, fwd, params, state in members:
+    for name in pred.names:
+        fn = pred.fns[name]
+        params, state = pred.params[name], pred.states[name]
+
+        def fwd(params, state, x, fn=fn):
+            probs, _ = M.apply(fn, params, state, x, compute_dtype=dtype)
+            m = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            return jnp.sum(m.astype(jnp.int32))
+
+        fwd = jax.jit(fwd)
         _phase(f"permodel: {name} warmup")
         np.asarray(fwd(params, state, x))
         flops = _flops_of(fwd.lower(params, state, x).compile())
         _phase(f"permodel: {name} timed")
         best = float("inf")
-        for _ in range(2):  # best-of-2: tunnel dispatch variance
+        for _ in range(loops):  # best-of-N: tunnel dispatch variance
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = fwd(params, state, x)
@@ -271,15 +290,35 @@ def measure_permodel(names, batch, iters, dtype):
             "mfu": round(fps / PEAK_FLOPS, 4),
         }
         _hb(f"{name}: {tps:.1f} tiles/s, MFU {table[name]['mfu']:.3f}")
+        if on_member:
+            on_member(dict(table))
+    return table
+
+
+def measure_permodel(names, batch, iters, dtype):
+    """permodel mode: the member table plus the fused-ensemble headline."""
+    _phase("permodel: build members")
+    pred = _build_fused(names, batch, dtype)
+    metric = _METRIC_BY_MODE["permodel"]
+
+    def on_member(table):
         _partial({
-            "metric": "permodel_512_tiles_per_sec_per_chip",
-            "value": round(tps, 3),
+            "metric": metric,
+            "value": None,
             "unit": "tiles/s",
             "vs_baseline": None,
             "per_model": table,
         })
+
+    table = _permodel_table(pred, batch, iters, dtype, on_member=on_member)
     _phase("permodel: fused ensemble")
-    tps, fps = measure_fused_forward(names, batch, iters, dtype)
+    # label partials with the permodel metric + the accumulated table so a
+    # deadline hit in this leg doesn't emit a mislabeled fused-only artifact
+    # (round-4 ADVICE)
+    tps, fps = measure_fused_forward(
+        names, batch, iters, dtype, pred=pred, metric=metric,
+        extra_partial={"per_model": table},
+    )
     return tps, fps, table
 
 
@@ -344,6 +383,7 @@ def _build_fused(
 def measure_fused_forward(
     names, batch, iters, dtype, int8_pointwise=False, int8_calibrate=False,
     metric="ensemble_fused_forward_512_tiles_per_sec_per_chip",
+    pred=None, extra_partial=None,
 ):
     """Compute throughput of the production fused-ensemble program (tile
     gather + 5 model forwards + argmax + scatter-OR + bitplane pack) with
@@ -351,16 +391,27 @@ def measure_fused_forward(
 
     This is what the chip sustains when scenes stream in over a production
     host link; the dev tunnel here moves ~20-35 MB/s with heavy variance
-    (BASELINE.md), which `scene` mode measures end-to-end."""
+    (BASELINE.md), which `scene` mode measures end-to-end.
+
+    ``pred`` reuses an already-built predictor (the `all` mode shares one
+    5-model init across sections); ``extra_partial`` is merged into every
+    deadline snapshot so a watchdog emission keeps the sections measured so
+    far (round-4 ADVICE: a permodel-mode deadline hit during the fused leg
+    used to emit a mislabeled fused-only artifact)."""
     import numpy as np
 
     from building_detection_tpu.ops import tiling as T
 
-    _phase("fused: build members")
-    pred = _build_fused(
-        names, batch, dtype, int8_pointwise=int8_pointwise,
-        int8_calibrate=int8_calibrate,
-    )
+    def snap(payload: dict) -> None:
+        payload.update(extra_partial or {})
+        _partial(payload)
+
+    if pred is None:
+        _phase("fused: build members")
+        pred = _build_fused(
+            names, batch, dtype, int8_pointwise=int8_pointwise,
+            int8_calibrate=int8_calibrate,
+        )
     rng = np.random.RandomState(0)
     plan = T.plan_tiles(2048, 2048, pred.cfg)
     group = pred._group_size(plan.num_tiles)
@@ -385,7 +436,7 @@ def measure_fused_forward(
     out = compiled(pred.params, pred.states, *staged)
     np.asarray(out)
     dt1 = time.perf_counter() - t0
-    _partial({
+    snap({
         "metric": metric,
         "value": round(n_per_iter / dt1, 3),
         "unit": "tiles/s",
@@ -406,7 +457,7 @@ def measure_fused_forward(
         np.asarray(out)  # FIFO queue: fetching the last result flushes all
         best = min(best, time.perf_counter() - t0)
         tps = n_per_iter * iters / best
-        _partial({
+        snap({
             "metric": metric,
             "value": round(tps, 3),
             "unit": "tiles/s",
@@ -446,15 +497,16 @@ def measure_link(n_bytes: int = 8 << 20) -> dict:
     }
 
 
-def measure_scene(names, batch, iters, dtype):
+def measure_scene(names, batch, iters, dtype, pred=None):
     """End-to-end fused-ensemble scene throughput: pad + gather + 5 forwards
     + argmax + scatter-OR, one program, on 2048x2048 scenes."""
     import numpy as np
 
     from building_detection_tpu.ops import tiling as T
 
-    _phase("scene: build members")
-    pred = _build_fused(names, batch, dtype)
+    if pred is None:
+        _phase("scene: build members")
+        pred = _build_fused(names, batch, dtype)
     rng = np.random.RandomState(0)
     scenes = [
         rng.randint(0, 256, (2048, 2048, 3), np.uint8) for _ in range(iters)
@@ -563,26 +615,127 @@ def measure_train(model_name: str, batch: int, iters: int):
     return n / dt, flops_per_epoch / dt
 
 
+def measure_all(names, batch, iters, dtype):
+    """Every headline number in ONE driver-run artifact (round-4 VERDICT
+    item 1): fused forward (the headline value, same metric name as prior
+    rounds for artifact diffing) + the per-member table + training (res34 at
+    the reference's batch 8) + end-to-end scene throughput with the achieved
+    link bandwidth.  Sections accumulate into every watchdog snapshot, so a
+    deadline hit emits whatever was measured, correctly labeled."""
+    import jax.numpy as jnp  # noqa: F401  (backend already up)
+
+    sections: dict = {"sections": []}
+    _phase("all: build members")
+    pred = _build_fused(names, batch, dtype)
+    tps, fps = measure_fused_forward(
+        names, batch, iters, dtype, pred=pred,
+        metric=_METRIC_BY_MODE["all"], extra_partial=sections,
+    )
+    fused_payload = {
+        "metric": _METRIC_BY_MODE["all"],
+        "value": round(tps, 3),
+        "unit": "tiles/s",
+        "vs_baseline": round(tps / CPU_BASELINE_TILES_PER_SEC, 2),
+        "tflops": round(fps / 1e12, 2),
+        "mfu": round(fps / PEAK_FLOPS, 4),
+    }
+    sections["sections"].append("fused")
+
+    def resnap():
+        p = dict(fused_payload)
+        p.update(sections)
+        _partial(p)
+
+    resnap()
+
+    def on_member(table):
+        sections["per_model"] = table
+        resnap()
+
+    sections["per_model"] = _permodel_table(
+        pred, batch, max(iters // 2, 5), dtype, on_member=on_member,
+    )
+    sections["sections"].append("permodel")
+    resnap()
+
+    train_batch = int(os.environ.get("BDT_BENCH_TRAIN_BATCH", "8"))
+    t_tps, t_fps = measure_train("res34", train_batch, 10)
+    sections["train"] = {
+        "model": "res34",
+        "batch": train_batch,
+        "images_per_sec": round(t_tps, 2),
+        "tflops": round(t_fps / 1e12, 2),
+        "mfu": round(t_fps / PEAK_FLOPS, 4),
+    }
+    sections["sections"].append("train")
+    resnap()
+
+    s_tps, s_fps, link = measure_scene(
+        names, batch, min(iters, 6), dtype, pred=pred
+    )
+    sections["scene"] = {
+        "tiles_per_sec": round(s_tps, 2),
+        "mfu": round(s_fps / PEAK_FLOPS, 4) if s_fps else None,
+        **link,
+    }
+    sections["sections"].append("scene")
+    resnap()
+    return tps, fps, sections
+
+
 _METRIC_BY_MODE = {
+    # `all` keeps the fused metric name: the headline value is the same
+    # measurement, so cross-round artifact diffs stay comparable
+    "all": "ensemble_fused_forward_512_tiles_per_sec_per_chip",
     "fused": "ensemble_fused_forward_512_tiles_per_sec_per_chip",
     "int8": "ensemble_fused_int8pw_512_tiles_per_sec_per_chip",
     "scene": "ensemble_scene_512_tiles_per_sec_per_chip",
     "scene_mixed": "ensemble_mixed_scene_512_tiles_per_sec_per_chip",
     "permodel": "permodel_512_tiles_per_sec_per_chip",
     "ensemble": "ensemble_512_tiles_per_sec_per_chip",
+    "train": None,  # metric is train_{model}_512_images_per_sec
 }
 
 
 def main() -> int:
-    mode = os.environ.get("BDT_BENCH_MODE", "fused")
+    mode = os.environ.get("BDT_BENCH_MODE", "all")
+    if mode not in _METRIC_BY_MODE:
+        # a typo must not silently fall through to a slow, differently-
+        # labeled path while the watchdog is armed with the wrong hint
+        # (round-4 ADVICE)
+        print(
+            f"unknown BDT_BENCH_MODE {mode!r}; known: "
+            + ", ".join(sorted(_METRIC_BY_MODE)),
+            file=sys.stderr,
+        )
+        return 2
     unit = "images/s" if mode == "train" else "tiles/s"
     first_model = os.environ.get("BDT_BENCH_MODELS", "res34").split(",")[0]
     done = _start_watchdog(
-        _METRIC_BY_MODE.get(mode, f"train_{first_model}_512_images_per_sec"),
+        _METRIC_BY_MODE[mode] or f"train_{first_model}_512_images_per_sec",
         unit,
     )
     _phase("backend probe")
-    wait_for_backend()
+    try:
+        wait_for_backend()
+    except RuntimeError as e:
+        # no backend, but still a parseable artifact (round-4 ADVICE: an
+        # rc!=0 with no JSON line is the exact failure mode the watchdog
+        # exists to prevent)
+        _hb(str(e))
+        _emit({
+            "metric": _METRIC_BY_MODE[mode]
+            or f"train_{first_model}_512_images_per_sec",
+            "value": None,
+            "unit": unit,
+            "vs_baseline": None,
+            "degraded": True,
+            "phase": "backend probe",
+            "error": str(e),
+            "elapsed_s": round(time.time() - _T0, 1),
+        })
+        done.set()
+        return 1
     _phase("backend init (parent)")
 
     import jax
@@ -607,7 +760,11 @@ def main() -> int:
 
     unit = "tiles/s"
     extra: dict = {}
-    if mode == "fused":
+    if mode == "all":
+        tps, fps, sections = measure_all(names, batch, iters, jnp.bfloat16)
+        metric = _METRIC_BY_MODE[mode]
+        extra.update(sections)
+    elif mode == "fused":
         tps, fps = measure_fused_forward(names, batch, iters, jnp.bfloat16)
         metric = _METRIC_BY_MODE[mode]
     elif mode == "int8":
@@ -641,7 +798,7 @@ def main() -> int:
         metric = f"train_{names[0]}_512_images_per_sec"
         baseline = None
         unit = "images/s"
-    else:
+    else:  # "ensemble": per-model eager loop, the pre-fused methodology
         tps, fps = measure_ensemble(names, batch, iters, jnp.bfloat16)
         metric = _METRIC_BY_MODE["ensemble"]
     out = {

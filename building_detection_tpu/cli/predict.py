@@ -60,6 +60,23 @@ def build_parser() -> argparse.ArgumentParser:
         "programs (bit-identical output)",
     )
     p.add_argument(
+        "--num-processes",
+        type=int,
+        default=1,
+        help="fleet-scale inference: total number of bdt-predict processes "
+        "sharing this --image-dir.  Each process takes a deterministic "
+        "shard of the sorted scene list (no coordination or collectives "
+        "needed; per-scene output dirs are disjoint, so the union of all "
+        "processes' outputs is bit-identical to one big run).  The "
+        "reference is single-process only (predict.py:160-178).",
+    )
+    p.add_argument(
+        "--process-id",
+        type=int,
+        default=0,
+        help="this process's shard index in [0, --num-processes)",
+    )
+    p.add_argument(
         "--chunk-scenes",
         type=int,
         default=16,
@@ -105,6 +122,35 @@ def main(argv=None) -> int:
             for f in sorted(os.listdir(args.image_dir))
             if f.lower().endswith((".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp"))
         ]
+    if args.num_processes < 1 or not (0 <= args.process_id < args.num_processes):
+        print(
+            f"--process-id {args.process_id} must be in [0, "
+            f"--num-processes={args.num_processes})",
+            file=sys.stderr,
+        )
+        return 2
+    if args.num_processes > 1:
+        if args.image:
+            print(
+                "--num-processes applies to --image-dir runs (a single "
+                "--image has nothing to shard)",
+                file=sys.stderr,
+            )
+            return 2
+        # deterministic round-robin over the SORTED list: every process
+        # derives the same global order, so shards are disjoint and
+        # exhaustive with zero coordination
+        total = len(images)
+        images = images[args.process_id :: args.num_processes]
+        print(
+            f"process {args.process_id}/{args.num_processes}: "
+            f"{len(images)} of {total} scenes",
+            file=sys.stderr,
+        )
+        if not images and total:
+            # more processes than scenes: an empty shard is a clean no-op,
+            # not an error — the fleet's union is still complete
+            return 0
     if not images:
         print("no images found", file=sys.stderr)
         return 2

@@ -114,6 +114,10 @@ class ServeConfig:
     # (a 16384x16384 RGB PNG is ~200 MB) with headroom.
     max_request_bytes: int = 256 * 1024 * 1024
     request_timeout_s: float = 120.0
+    # SIGTERM graceful-drain bound: how long serve() waits for in-flight
+    # requests before closing anyway (the reference's bare app.run kills
+    # them on the spot, `buildAPI.py:233`).
+    drain_timeout_s: float = 300.0
 
 
 @dataclasses.dataclass(frozen=True)

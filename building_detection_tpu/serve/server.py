@@ -175,6 +175,14 @@ class DetectionService:
         os.makedirs(self.receive_dir, exist_ok=True)
         os.makedirs(self.result_dir, exist_ok=True)
         self._dir_lock = threading.Lock()
+        # ops state (beyond the reference, which exposes neither liveness
+        # nor a shutdown story — `buildAPI.py:233` is a bare app.run):
+        # in-flight request count + a draining flag, so GET /health can
+        # answer without running an inference and SIGTERM can finish
+        # in-flight work before the process exits.
+        self.draining = False
+        self._inflight = 0
+        self._inflight_cv = threading.Condition()
         # serialize same-client requests end-to-end: handle_photo rmtree's
         # and re-creates the per-client dir per request (the reference's
         # del_file, `buildAPI.py:92`), so without this a concurrent request
@@ -209,6 +217,47 @@ class DetectionService:
         finally:
             with self._dir_lock:
                 entry[1] -= 1
+
+    @contextlib.contextmanager
+    def _track_request(self):
+        with self._inflight_cv:
+            self._inflight += 1
+        try:
+            yield
+        finally:
+            with self._inflight_cv:
+                self._inflight -= 1
+                self._inflight_cv.notify_all()
+
+    def health(self) -> Tuple[dict, int]:
+        """Cheap liveness/readiness: no inference, no locks on the hot path.
+
+        503 while draining so a load balancer stops routing new work here
+        before the listener closes."""
+        draining = self.draining
+        return (
+            {
+                "status": "draining" if draining else "ok",
+                "inflight": self._inflight,
+                "model": type(self.pipeline).__name__,
+            },
+            503 if draining else 200,
+        )
+
+    def drain(self, timeout_s: Optional[float] = None) -> bool:
+        """Stop admitting work, wait for in-flight requests, close the batcher.
+
+        Returns True if every in-flight request finished inside ``timeout_s``
+        (None = wait forever).  Safe to call more than once."""
+        self.draining = True
+        with self._inflight_cv:
+            done = self._inflight_cv.wait_for(
+                lambda: self._inflight == 0, timeout_s
+            )
+        # jobs already queued still complete (the worker drains its queue
+        # before exiting); only NEW predict calls raise after this
+        self._batcher.close()
+        return done
 
     @staticmethod
     def _ng(error: str) -> dict:
@@ -302,27 +351,57 @@ def make_handler(service: DetectionService):
         def _read_body(self, length: int) -> bytes:
             """Read exactly ``length`` bytes under an OVERALL deadline.
 
-            The socket timeout alone only bounds the gap between bytes — a
-            drip-feeding client resets it with one byte per interval.  The
-            chunked read enforces a whole-body deadline on top."""
+            The per-recv socket timeout alone only bounds the gap between
+            bytes — a drip-feeding client resets it with one byte per
+            interval, and ``rfile.read(n)`` blocks inside BufferedReader
+            until all ``n`` bytes arrive, so a Python-level deadline check
+            between chunks is not enough either.  Before each chunk the
+            SOCKET timeout is shrunk to the remaining overall deadline:
+            whichever recv is in progress when the deadline passes raises,
+            whatever the drip rate.  The original per-op timeout is restored
+            afterwards for the response write / keep-alive reads."""
             deadline = _time.monotonic() + scfg.request_timeout_s
             chunks, remaining = [], length
-            while remaining > 0:
-                if _time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"request body not received within "
-                        f"{scfg.request_timeout_s:.0f}s"
-                    )
-                chunk = self.rfile.read(min(remaining, 1 << 20))
-                if not chunk:
-                    raise ConnectionError("client closed mid-body")
-                chunks.append(chunk)
-                remaining -= len(chunk)
+            try:
+                while remaining > 0:
+                    left = deadline - _time.monotonic()
+                    if left <= 0:
+                        raise TimeoutError(
+                            f"request body not received within "
+                            f"{scfg.request_timeout_s:.0f}s"
+                        )
+                    self.connection.settimeout(min(left, scfg.request_timeout_s))
+                    # read1: returns as soon as ANY bytes are available (one
+                    # raw recv past the buffer) instead of blocking until a
+                    # full fixed-size chunk arrives — so this loop, and the
+                    # deadline check above, run at the client's arrival rate.
+                    # Fast clients still move ~one socket buffer per call.
+                    chunk = self.rfile.read1(remaining)
+                    if not chunk:
+                        raise ConnectionError("client closed mid-body")
+                    chunks.append(chunk)
+                    remaining -= len(chunk)
+            finally:
+                with contextlib.suppress(OSError):
+                    self.connection.settimeout(scfg.request_timeout_s)
             return b"".join(chunks)
+
+        def do_GET(self):
+            if self.path != "/health":
+                self._respond(service._ng(f"unknown path {self.path}"), 404)
+                return
+            payload, code = service.health()
+            self._respond(payload, code)
 
         def do_POST(self):
             if self.path != "/photo":
                 self._respond(service._ng(f"unknown path {self.path}"), 404)
+                return
+            if service.draining:
+                # reject before reading the body: the listener is about to
+                # close and the micro-batcher will not accept new work
+                self.close_connection = True
+                self._respond(service._ng("server is draining"), 503)
                 return
             try:
                 try:
@@ -343,13 +422,16 @@ def make_handler(service: DetectionService):
                         413,
                     )
                     return
-                body = self._read_body(length)
-                fields = parse_multipart(
-                    body, self.headers.get("Content-Type", "")
-                )
-                filename, payload = fields.get("file", (None, None))
-                client_id = self.headers.get("clientID")
-                self._respond(service.handle_photo(client_id, filename, payload))
+                with service._track_request():
+                    body = self._read_body(length)
+                    fields = parse_multipart(
+                        body, self.headers.get("Content-Type", "")
+                    )
+                    filename, payload = fields.get("file", (None, None))
+                    client_id = self.headers.get("clientID")
+                    self._respond(
+                        service.handle_photo(client_id, filename, payload)
+                    )
             except (TimeoutError, ConnectionError, OSError) as e:
                 # stalled/broken upload: free the worker; answering may
                 # itself fail on a dead socket, which is fine
@@ -374,7 +456,15 @@ def serve(
 
     ``warmup`` runs one dummy tile through the ensemble before accepting
     requests so the first client doesn't pay the XLA compile (the persistent
-    compilation cache makes this fast on restarts)."""
+    compilation cache makes this fast on restarts).
+
+    SIGTERM/SIGINT drain gracefully: mark draining (GET /health flips to
+    503 so load balancers stop routing here), stop accepting connections,
+    finish every in-flight request (bounded by ``serve.drain_timeout_s``),
+    close the micro-batcher, then return.  The reference's bare ``app.run``
+    (`buildAPI.py:233`) kills in-flight requests on the spot."""
+    import signal
+
     service = DetectionService(pipeline, cfg, root_dir)
     if warmup:
         import numpy as np
@@ -386,5 +476,27 @@ def serve(
     host = host if host is not None else cfg.serve.host
     port = port if port is not None else cfg.serve.port
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
-    print(f"serving on {host}:{port}")
-    httpd.serve_forever()
+
+    def _graceful(signum, frame):
+        # shutdown() must not run on the thread blocked in serve_forever
+        # (it waits for that loop to exit); hand it to a helper thread.
+        def run():
+            print(f"signal {signum}: draining...", flush=True)
+            service.draining = True
+            httpd.shutdown()
+
+        threading.Thread(target=run, daemon=True).start()
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _graceful)
+    # report the BOUND address (port=0 binds an ephemeral port)
+    print(f"serving on {host}:{httpd.server_address[1]}", flush=True)
+    try:
+        httpd.serve_forever()
+    finally:
+        done = service.drain(cfg.serve.drain_timeout_s)
+        httpd.server_close()
+        print(
+            "drained, bye." if done
+            else f"drain timed out after {cfg.serve.drain_timeout_s:.0f}s"
+        )

@@ -55,8 +55,10 @@ class TestBenchDeadline:
             sys.path.remove(REPO)
 
     def test_worst_case_probe_budget_within_deadline(self):
-        """wait_for_backend's worst case must fit the default deadline with
-        room for the measured phases (~4.5 min happy path)."""
+        """wait_for_backend's worst case must leave the 540s default
+        deadline room for the headline (fused) phase even when the first
+        probes fail (round-5: 3 attempts — a 75-85s bring-up day must not
+        zero the artifact)."""
         import inspect
 
         sys.path.insert(0, REPO)
@@ -71,6 +73,41 @@ class TestBenchDeadline:
             probe = sig.parameters["probe_timeout"].default
             sleep = sig.parameters["sleep_s"].default
             worst = attempts * probe + (attempts - 1) * sleep
-            assert worst <= 180, f"probe worst case {worst}s exceeds 3 min"
+            # worst-case probes + ~71s bring-up + fused stage/compile/one
+            # iter (~60s warm) must fit 540s
+            assert worst <= 270, f"probe worst case {worst}s exceeds 4.5 min"
+            assert attempts >= 3, "a single flaky probe must not be fatal"
         finally:
             sys.path.remove(REPO)
+
+    def test_all_backend_probes_failing_still_emits_json(self):
+        """Every probe failing exits nonzero BUT still prints a degraded
+        JSON artifact line (round-4 ADVICE: rc=1 with no JSON is the
+        artifact-less failure mode the watchdog exists to prevent)."""
+        env = dict(os.environ)
+        env["BDT_BENCH_TEST_FAIL_BACKEND"] = "1"
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=60,
+        )
+        assert r.returncode == 1, (r.returncode, r.stderr[-300:])
+        json_lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        assert len(json_lines) == 1, r.stdout
+        out = json.loads(json_lines[0])
+        assert {"metric", "value", "unit", "vs_baseline"} <= set(out)
+        assert out["degraded"] is True
+        assert out["phase"] == "backend probe"
+        assert out["value"] is None
+
+    def test_unknown_mode_fails_loudly(self):
+        """A typo'd BDT_BENCH_MODE must error up front, not fall through to
+        a slow differently-labeled path (round-4 ADVICE)."""
+        env = dict(os.environ)
+        env["BDT_BENCH_MODE"] = "fuse"  # typo of "fused"
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=60,
+        )
+        assert r.returncode == 2
+        assert "unknown BDT_BENCH_MODE" in r.stderr
+        assert "fused" in r.stderr  # the known set is listed

@@ -137,6 +137,41 @@ def _run_cli_workers(args_for, tmp_path, extra_env=None, timeout=600):
     return [(p.returncode, out) for p, out in zip(procs, outs)]
 
 
+GLOO_SKIP_MARKER = os.environ.get(
+    "BDT_GLOO_SKIP_MARKER", "/tmp/bdt_gloo_skipped.json"
+)
+
+_GLOO_INFRA_MARKERS = (
+    "Barrier timed out", "DEADLINE_EXCEEDED", "CoordinationService",
+    "coordination service", "Shutdown barrier",
+    "Gloo context initialization failed",
+)
+
+
+def _record_gloo_skip(test_name: str, reason: str) -> None:
+    """Machine-readable record that a 2-process leg did NOT run (VERDICT r4
+    item 6: a green suite must not silently lose its only real
+    cross-process coverage).  Appends to GLOO_SKIP_MARKER; conftest clears
+    the file at session start, so after a run `no marker == the legs ran`."""
+    import time
+
+    entries = []
+    try:
+        with open(GLOO_SKIP_MARKER) as f:
+            entries = json.load(f)
+    except (OSError, ValueError):
+        pass
+    entries.append({
+        "test": test_name,
+        "reason": reason[:500],
+        "time": time.time(),
+    })
+    tmp = GLOO_SKIP_MARKER + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(entries, f, indent=1)
+    os.replace(tmp, GLOO_SKIP_MARKER)
+
+
 def _with_infra_retry(fn, attempts=3):
     """Re-run a 2-process check that failed on Gloo COORDINATION noise.
 
@@ -148,27 +183,87 @@ def _with_infra_retry(fn, attempts=3):
     training saturating every core).  That is infrastructure weather, not
     the property being tested: retry, and if EVERY attempt dies with pure
     coordination noise, skip with the diagnosis instead of reporting a
-    false failure.  Real assertion failures (markers absent) re-raise
-    immediately — a genuine CLI/trainer regression cannot produce these
-    markers without also failing the standalone assertions."""
+    false failure — LOUDLY: the skip is recorded in GLOO_SKIP_MARKER, and
+    ``BDT_GLOO_STRICT=1`` (CI contexts) turns it into a hard failure.
+    Real assertion failures (markers absent) re-raise immediately — a
+    genuine CLI/trainer regression cannot produce these markers without
+    also failing the standalone assertions."""
     last = None
     for i in range(attempts):
         try:
             return fn()
         except AssertionError as e:
             msg = str(e)
-            infra = any(m in msg for m in (
-                "Barrier timed out", "DEADLINE_EXCEEDED", "CoordinationService",
-                "coordination service", "Shutdown barrier",
-                "Gloo context initialization failed",
-            ))
-            if not infra:
+            if not any(m in msg for m in _GLOO_INFRA_MARKERS):
                 raise
             last = e
-    pytest.skip(
+    diagnosis = (
         "2-process Gloo bring-up starved past its hard 30s deadlines on "
         f"every attempt (overloaded box): {str(last)[:300]}"
     )
+    import inspect
+
+    caller = inspect.stack()[1].function
+    _record_gloo_skip(caller, diagnosis)
+    if os.environ.get("BDT_GLOO_STRICT") == "1":
+        raise AssertionError(
+            f"BDT_GLOO_STRICT=1: refusing to skip the 2-process leg — "
+            + diagnosis
+        )
+    pytest.skip(diagnosis)
+
+
+class TestGlooSkipMarker:
+    """The infra-skip must be LOUD: machine-readable marker + strict mode
+    (VERDICT r4 item 6)."""
+
+    def test_exhausted_infra_retries_skip_and_record(self, tmp_path, monkeypatch):
+        import test_distributed as td
+
+        marker = str(tmp_path / "gloo.json")
+        monkeypatch.setattr(td, "GLOO_SKIP_MARKER", marker)
+        calls = []
+
+        def starved():
+            calls.append(1)
+            raise AssertionError("... DEADLINE_EXCEEDED: Barrier timed out ...")
+
+        with pytest.raises(pytest.skip.Exception):
+            td._with_infra_retry(starved, attempts=2)
+        assert len(calls) == 2
+        with open(marker) as f:
+            entries = json.load(f)
+        assert len(entries) == 1
+        assert "DEADLINE_EXCEEDED" in entries[0]["reason"]
+        assert entries[0]["test"] == "test_exhausted_infra_retries_skip_and_record"
+
+    def test_strict_mode_fails_instead_of_skipping(self, tmp_path, monkeypatch):
+        import test_distributed as td
+
+        monkeypatch.setattr(td, "GLOO_SKIP_MARKER", str(tmp_path / "g.json"))
+        monkeypatch.setenv("BDT_GLOO_STRICT", "1")
+
+        def starved():
+            raise AssertionError("CoordinationService went away")
+
+        with pytest.raises(AssertionError, match="refusing to skip"):
+            td._with_infra_retry(starved, attempts=1)
+
+    def test_real_failures_reraise_without_marker(self, tmp_path, monkeypatch):
+        import test_distributed as td
+
+        marker = str(tmp_path / "g.json")
+        monkeypatch.setattr(td, "GLOO_SKIP_MARKER", marker)
+        calls = []
+
+        def broken():
+            calls.append(1)
+            raise AssertionError("checkpoint file missing")
+
+        with pytest.raises(AssertionError, match="checkpoint file missing"):
+            td._with_infra_retry(broken, attempts=3)
+        assert len(calls) == 1  # no retry burn on real regressions
+        assert not os.path.exists(marker)
 
 
 def _write_pairs(tmp_path, n=32, size=16):
