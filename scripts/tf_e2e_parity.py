@@ -20,6 +20,14 @@ forward path was bit-identical to a run that showed zero such pixels
 oneDNN note).  A fixed 1e-3 allowance sat inside that tail and failed
 spuriously.
 
+The margin window no longer carries the parity claim alone (round-4
+VERDICT item 4): before any sharpening, the probe also compares the RAW
+softmax outputs of both stacks on every tile of every e2e scene and
+asserts ``max|Δp| <= SOFTMAX_TOL = 2e-4`` (the measured 6e-5 tail with
+margin).  That pins the forward path at the probability level directly;
+the sharpened-margin allowance then only excuses amplified argmax ties,
+never real probability divergence.
+
 Usage: python scripts/tf_e2e_parity.py [scene_size [scene_h,scene_w ...]]
 Defaults: one 600x600 square scene and one 600x700 non-square scene run with
 fix_nonsquare_bug=False (the faithful-replication mode, `predict.py:106`).
@@ -35,6 +43,29 @@ import numpy as np  # noqa: E402
 
 MARGIN_TIE = 5e-3   # sharpened cross-framework error tail (docstring)
 MAX_DIFF_PX = 10    # per scene per model; real divergence flips thousands
+SOFTMAX_TOL = 2e-4  # raw (unsharpened) probability parity bound
+
+
+def scene_tiles(img_rgb_f, fix_nonsquare=False):
+    """The reference tiler's padded tile stack (`predict.py:98-106`),
+    shared by the mask leg and the raw-softmax leg so both compare the
+    exact same tensors."""
+    import math
+
+    h, w = img_rgb_f.shape[:2]
+    h_num = math.ceil((h - 152) / 360)
+    w_num = math.ceil((w - 152) / 360)
+    new_h = h_num * 360 + 152
+    new_w = w_num * 360 + 152
+    tmp_img = np.zeros((max(new_h, 512), max(new_w, 512), 3), np.float32)
+    tmp_img[:h, :w, :] = img_rgb_f
+    inner = new_h if not fix_nonsquare else new_w
+    tiles, coords = [], []
+    for i in range(0, new_h - 152, 360):
+        for j in range(0, inner - 152, 360):
+            tiles.append(tmp_img[i : i + 512, j : j + 512, :])
+            coords.append((i, j))
+    return np.stack(tiles), coords, (new_h, new_w)
 
 
 def reference_detection(model, img_rgb_f, fix_nonsquare=False):
@@ -93,13 +124,27 @@ def main():
     import tempfile
 
     names = ["res34", "hrnet", "v3plus", "scse", "bam"]
-    h5s, models = {}, {}
+    rng = np.random.RandomState(0)
+    scenes = [synthetic_scene(rng, h, w) for h, w in shapes]
+    normed = [(s[..., :] / 127.5 - 1.0).astype(np.float32) for s in scenes]
+    tile_stacks = [scene_tiles(n, fix_nonsquare=False)[0] for n in normed]
+
+    h5s, raw_h5s, models, tf_raw = {}, {}, {}, {}
     for name in names:
-        fd, h5s[name] = tempfile.mkstemp(suffix=f"_{name}.h5")
         import os as _os
 
+        fd, h5s[name] = tempfile.mkstemp(suffix=f"_{name}.h5")
+        _os.close(fd)
+        fd, raw_h5s[name] = tempfile.mkstemp(suffix=f"_{name}_raw.h5")
         _os.close(fd)
         model = tf_oracle.build_reference_model(name)
+        # raw-softmax leg (VERDICT r4 item 4): record the UNsharpened
+        # probabilities on every e2e tile before any weight surgery
+        model.save_weights(raw_h5s[name])
+        tf_raw[name] = [
+            model.predict(stack, batch_size=4, verbose=0).astype(np.float32)
+            for stack in tile_stacks
+        ]
         # Sharpen the classifier (x30 on the final conv) IN THE SHARED
         # WEIGHTS: at random init softmax sits near 0.5, so ulp-level
         # cross-framework float differences flip argmax on ~1/1e6 pixels and
@@ -127,9 +172,6 @@ def main():
         models[name] = model
         print(f"built reference {name}")
 
-    rng = np.random.RandomState(0)
-    scenes = [synthetic_scene(rng, h, w) for h, w in shapes]
-
     # --- reference path: TF tiler loop + cv2-transcription fusion/edges ----
     sys.path.insert(
         0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -137,11 +179,10 @@ def main():
     import reference_oracle as RO
 
     ref_results = []
-    for scene in scenes:
+    for scene, norm in zip(scenes, normed):
         # the reference normalizes in numpy f64 and TF casts at the graph
         # boundary (`predict.py:93`); f32 arithmetic here would be 1 ulp off
         # for half the uint8 range and flip near-tie argmax pixels
-        norm = (scene[..., :] / 127.5 - 1.0).astype(np.float32)
         per_model, margins = {}, {}
         for n in names:
             per_model[n], margins[n] = reference_detection(
@@ -168,6 +209,31 @@ def main():
         weights=h5s, cfg=cfg, compute_dtype=jnp.float32, batch_tiles=8
     )
     ok = True
+
+    # --- raw-softmax forward parity (no sharpening, no margin window) ------
+    from building_detection_tpu.core import module as M
+    from building_detection_tpu.models.registry import MODEL_REGISTRY, init_model
+    from building_detection_tpu.train.checkpoint import import_h5_weights
+
+    for name in names:
+        p0, s0 = init_model(name, jax.random.key(0), (1, 512, 512, 3))
+        params, state, _ = import_h5_weights(raw_h5s[name], p0, s0)
+        fwd = jax.jit(
+            lambda p, s, x, fn=MODEL_REGISTRY[name]: M.apply(
+                fn, p, s, x, compute_dtype=jnp.float32
+            )[0]
+        )
+        worst = 0.0
+        for stack, tf_probs in zip(tile_stacks, tf_raw[name]):
+            ours = np.concatenate([
+                np.asarray(fwd(params, state, jnp.asarray(stack[i : i + 4])))
+                for i in range(0, len(stack), 4)
+            ])
+            worst = max(worst, float(np.max(np.abs(ours - tf_probs))))
+        passed = worst <= SOFTMAX_TOL
+        print(f"raw softmax {name}: max|dp| = {worst:.3e} "
+              f"({'PASS' if passed else 'FAIL'} tol {SOFTMAX_TOL:g})")
+        ok &= passed
     for scene, (ref_masks, ref_margins, ref_fused, ref_points) in zip(
         scenes, ref_results
     ):
