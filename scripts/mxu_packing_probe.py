@@ -127,7 +127,12 @@ def main() -> int:
             )
 
     if "b" in which:
-        for B, HW, C in ((128, 32, 728), (128, 128, 128)):
+        for B, HW, C in (
+            (128, 32, 728),   # middle flow x48 (`v3plus.py:239-252`)
+            (128, 128, 128),  # entry block 1 (`v3plus.py:185-194`)
+            (128, 64, 256),   # entry block 2 (`v3plus.py:202-214`)
+            (128, 32, 1536),  # exit flow (`v3plus.py:258-282`)
+        ):
             print(f"-- sep-conv site ({B},{HW},{HW},{C}) --", flush=True)
             x = jax.random.normal(
                 jax.random.key(2), (B, HW, HW, C), jnp.bfloat16
@@ -152,7 +157,9 @@ def main() -> int:
             print(f"  depthwise g=1 (VPU):     {dt0 * 1e3:7.3f} ms  "
                   f"useful {dw_flops / dt0 / 1e12:5.2f} TF/s", flush=True)
 
-            for g in (4, 8, 16):
+            for g in (2, 4, 7, 8, 13, 14, 16, 28):
+                if C % g:
+                    continue
                 # block-diagonal (3,3,g,C): out channel c uses input group
                 # c//g; its diagonal entry holds the depthwise value
                 kb = np.zeros((3, 3, g, C), np.float32)
@@ -174,23 +181,24 @@ def main() -> int:
                       f"useful {dw_flops / dt / 1e12:5.2f} TF/s  "
                       f"({dt / dt0:4.2f}x vs depthwise)", flush=True)
 
-            kdense = np.zeros((3, 3, C, C), np.float32)
-            kd = np.asarray(kdw, np.float32)
-            for c in range(C):
-                kdense[:, :, c, c] = kd[:, :, 0, c]
-            kdense = jnp.asarray(kdense, jnp.bfloat16)
+            if C <= 256:  # dense diagonal at 728 is 728x the FLOPs — skip
+                kdense = np.zeros((3, 3, C, C), np.float32)
+                kd = np.asarray(kdw, np.float32)
+                for c in range(C):
+                    kdense[:, :, c, c] = kd[:, :, 0, c]
+                kdense = jnp.asarray(kdense, jnp.bfloat16)
 
-            @jax.jit
-            def dense(x, k):
-                y = jax.lax.conv_general_dilated(
-                    x, k, (1, 1), "SAME", dimension_numbers=dn
-                )
-                return jnp.sum(y.astype(jnp.float32))
+                @jax.jit
+                def dense(x, k):
+                    y = jax.lax.conv_general_dilated(
+                        x, k, (1, 1), "SAME", dimension_numbers=dn
+                    )
+                    return jnp.sum(y.astype(jnp.float32))
 
-            dt = time_fn(dense, x, kdense)
-            print(f"  dense diagonal (MXU):    {dt * 1e3:7.3f} ms  "
-                  f"useful {dw_flops / dt / 1e12:5.2f} TF/s  "
-                  f"({dt / dt0:4.2f}x vs depthwise)", flush=True)
+                dt = time_fn(dense, x, kdense)
+                print(f"  dense diagonal (MXU):    {dt * 1e3:7.3f} ms  "
+                      f"useful {dw_flops / dt / 1e12:5.2f} TF/s  "
+                      f"({dt / dt0:4.2f}x vs depthwise)", flush=True)
 
             # context: the full sep-conv block (dw + pw), XLA-fused
             @jax.jit
@@ -210,6 +218,56 @@ def main() -> int:
                   f"total {(dw_flops + pw_flops) / dt_blk / 1e12:5.2f} TF/s  "
                   f"(dw share if serial: {dt0 / dt_blk * 100:4.1f}%)",
                   flush=True)
+
+    if "c" in which:
+        # (C) in-CONTEXT depthwise share: an 8-block middle-flow-style chain
+        # (sep conv + residual relu, as `v3plus.py:239-252`) lets XLA fuse
+        # across ops the way the real model does; comparing against the same
+        # chain with the depthwise stage removed isolates what the depthwise
+        # costs IN SITU (the isolated single-op number above is layout-cold
+        # and overstates it — v3plus' overall 44.7% MFU is incompatible with
+        # a 70% depthwise share).
+        B, HW, C = 128, 32, 728
+        x = jax.random.normal(jax.random.key(5), (B, HW, HW, C), jnp.bfloat16)
+        kdw = jax.random.normal(
+            jax.random.key(6), (3, 3, 1, C), jnp.bfloat16
+        ) * 0.05
+        kpw = jax.random.normal(
+            jax.random.key(7), (1, 1, C, C), jnp.bfloat16
+        ) * 0.05
+        DEPTH = 8
+        pw_flops = 2 * C * C * HW * HW * B * DEPTH
+
+        @jax.jit
+        def chain_sep(x, kdw, kpw):
+            for _ in range(DEPTH):
+                y = jax.lax.conv_general_dilated(
+                    x, kdw, (1, 1), "SAME", dimension_numbers=dn,
+                    feature_group_count=C,
+                )
+                y = jax.lax.conv_general_dilated(
+                    y, kpw, (1, 1), "VALID", dimension_numbers=dn
+                )
+                x = jnp.maximum(x + y, 0)
+            return jnp.sum(x.astype(jnp.float32))
+
+        @jax.jit
+        def chain_pw(x, kpw):
+            for _ in range(DEPTH):
+                y = jax.lax.conv_general_dilated(
+                    x, kpw, (1, 1), "VALID", dimension_numbers=dn
+                )
+                x = jnp.maximum(x + y, 0)
+            return jnp.sum(x.astype(jnp.float32))
+
+        dt_sep = time_fn(chain_sep, x, kdw, kpw)
+        dt_pw = time_fn(chain_pw, x, kpw)
+        share = (dt_sep - dt_pw) / dt_sep * 100
+        print(f"(c) 8-block chain WITH dw:  {dt_sep * 1e3:7.2f} ms  "
+              f"pw-only {pw_flops / dt_sep / 1e12:5.1f} TF/s", flush=True)
+        print(f"(c) 8-block chain pw-only:  {dt_pw * 1e3:7.2f} ms  "
+              f"{pw_flops / dt_pw / 1e12:5.1f} TF/s  "
+              f"-> in-context dw share {share:4.1f}%", flush=True)
 
     return 0
 
