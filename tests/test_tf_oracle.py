@@ -65,6 +65,34 @@ def test_forward_parity_vs_reference_tf(name):
     assert f"{name}: PASS" in proc.stdout, tail
 
 
+@pytest.mark.parametrize("name", ["res34", "scse", "v3plus", "bam", "hrnet"])
+def test_per_model_gradient_trajectory_parity_vs_tf(name):
+    """Gradient + 4-step Keras-Adam trajectory parity on the REAL
+    architecture (round-4 VERDICT item 3): reference model built verbatim
+    at 128 px, weights shared via the strict .h5 importer, step-1 gradients
+    compared per-tensor (grads persisted as pre+grad .h5 — no name
+    mapping), then every weight and BN moving stat after 4 reference-LR
+    steps (scripts/tf_model_grad_parity.py)."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # probe forces CPU itself
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "tf_model_grad_parity.py"),
+            name,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=1500,
+        env=env,
+        cwd=REPO,
+    )
+    tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-25:])
+    assert proc.returncode == 0, f"{name} grad parity failed:\n{tail}"
+    assert "MODEL GRAD PARITY: PASS" in proc.stdout, tail
+
+
 def test_training_step_parity_vs_tf():
     """Loss value, every trainable gradient, and BN moving-stat updates
     vs tf.GradientTape on a model covering all trained layer types
