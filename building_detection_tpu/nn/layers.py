@@ -310,14 +310,20 @@ def batch_norm(
         axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(x.astype(jnp.float32), axis=axes)
         var = jnp.var(x.astype(jnp.float32), axis=axes)
-        # Keras normalizes with the biased batch variance but updates the
-        # moving variance with the UNBIASED one (Bessel N/(N-1) over the
-        # reduced sample count) — verified against real tf_keras 2.21
-        # (scripts/tf_train_parity_probe.py).
+        # Keras normalizes with the biased batch variance; what it feeds the
+        # moving-variance EMA depends on the execution path: the FUSED batch
+        # norm (4-D inputs) reports the UNBIASED variance (Bessel N/(N-1)
+        # over the reduced sample count), while the non-fused path (2-D
+        # inputs — the zoo's SE/BAM channel gates operate on (B, C) Dense
+        # outputs, `predict_model/res34.py:90-105`, `bam.py:20-34`) uses the
+        # BIASED one.  Both verified empirically against real tf_keras 2.21
+        # (scripts/tf_train_parity_probe.py for 4-D; the rank experiment in
+        # scripts/tf_model_grad_parity.py's round-5 finding for 2-D, where
+        # n=batch makes the distinction a 33% effect at batch 4).
         n = 1
         for a in axes:
             n *= x.shape[a]
-        bessel = float(n) / float(n - 1) if n > 1 else 1.0
+        bessel = float(n) / float(n - 1) if x.ndim == 4 and n > 1 else 1.0
         s.put_state(
             f"{name}/moving_mean", moving_mean * momentum + mean * (1.0 - momentum)
         )

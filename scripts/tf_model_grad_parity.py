@@ -39,6 +39,15 @@ amplifies each framework's ~1e-8 reduction noise into lr-sized random
 walks whose direction is float noise, and BN moving means track the walk.
 Those tensors are compared against drift bounds instead of elementwise.
 
+Tolerances are SELF-CALIBRATED per tensor: the TF leg computes the same
+gradients a second time on a permuted batch (mathematically identical —
+BN batch statistics, the loss and all gradients are permutation-
+invariant; only f32 reduction orders change), and |g - g_perm| measures
+the architecture's own noise amplification at each tensor (res34's
+~70-conv backward reaches ~1e-3 relative at the stem).  Cross-framework
+diffs are allowed 10x that floor; a semantic bug produces diffs on the
+order of the gradient itself, far above.
+
 Usage:
     python scripts/tf_model_grad_parity.py [model ...]     # default: all 5
     python scripts/tf_model_grad_parity.py --tf-leg NAME WORKDIR  # internal
@@ -194,21 +203,69 @@ def tf_leg(name: str, work: str) -> int:
     for v, w in zip(model.variables, snapshot):
         v.assign(w)
 
+    # ---- TF's OWN per-tensor gradient noise floor --------------------------
+    # The same gradients computed on a PERMUTED batch: BN batch statistics,
+    # the loss, and every gradient are mathematically permutation-invariant
+    # — only reduction orders change.  |g - g_perm| per tensor is the
+    # intrinsic f32 noise the deep backward amplifies (on res34's ~70-conv
+    # backward it reaches ~1e-3 relative at the stem), and calibrates the
+    # cross-framework tolerances self-consistently per architecture.
+    perm = [3, 1, 0, 2]
+    with tf.GradientTape() as tape:
+        pred_p = model(tf.constant(xs[0][perm]), training=True)
+        loss_p = loss_of(pred_p, ys[0][perm])
+    grads_p = tape.gradient(loss_p, model.trainable_variables)
+    for v, w in zip(model.variables, snapshot):
+        v.assign(w)
+    for v, g in zip(model.trainable_variables, grads_p):
+        v.assign_add(g)
+    model.save_weights(os.path.join(work, "grads_perm.h5"))
+    for v, w in zip(model.variables, snapshot):
+        v.assign(w)
+
     # ---- 4-step Keras-Adam trajectory with the reference LR callback ------
-    opt = tf_keras.optimizers.Adam(learning_rate=LR_BASE, epsilon=1e-7)
-    losses = []
-    for step in range(N_STEPS):
-        opt.learning_rate.assign(np.float32(ref_lr(step)))
-        with tf.GradientTape() as tape:
-            pred = model(tf.constant(xs[step]), training=True)
-            l = loss_of(pred, ys[step])
-        g = tape.gradient(l, model.trainable_variables)
-        opt.apply_gradients(zip(g, model.trainable_variables))
-        losses.append(float(l.numpy()))
+    def run_trajectory(permute: bool):
+        opt = tf_keras.optimizers.Adam(learning_rate=LR_BASE, epsilon=1e-7)
+        losses = []
+        for step in range(N_STEPS):
+            opt.learning_rate.assign(np.float32(ref_lr(step)))
+            x_s, y_s = xs[step], ys[step]
+            if permute:
+                x_s, y_s = x_s[perm], y_s[perm]
+            with tf.GradientTape() as tape:
+                pred = model(tf.constant(x_s), training=True)
+                l = loss_of(pred, y_s)
+            g = tape.gradient(l, model.trainable_variables)
+            opt.apply_gradients(zip(g, model.trainable_variables))
+            losses.append(float(l.numpy()))
+            if step == 0 and not permute:
+                # post-step-1 snapshot: weights were IDENTICAL at step
+                # start, so every param update and BN moving-stat update is
+                # directly comparable with no chaos compounding — the sharp
+                # per-step assertion (the 4-step end state is only sanity-
+                # bounded; see ours_leg)
+                model.save_weights(os.path.join(work, "post1.h5"))
+        return losses
+
+    losses = run_trajectory(permute=False)
     model.save_weights(os.path.join(work, "post.h5"))
+    # TF's OWN trajectory chaos floor: the identical 4 steps on per-step
+    # permuted batches (same math, different reduction orders).  Adam +
+    # a deep backward amplify the per-step noise chaotically, so the
+    # elementwise weight spread after 4 steps is the honest comparison
+    # scale for the cross-framework trajectory diff.
+    for v, w in zip(model.variables, snapshot):
+        v.assign(w)
+    losses_p = run_trajectory(permute=True)
+    model.save_weights(os.path.join(work, "post_perm.h5"))
     with open(os.path.join(work, "tf_result.json"), "w") as f:
-        json.dump({"losses": losses, "loss0": float(loss0.numpy())}, f)
+        json.dump({
+            "losses": losses,
+            "losses_perm": losses_p,
+            "loss0": float(loss0.numpy()),
+        }, f)
     print(f"tf leg {name}: losses={['%.6f' % l for l in losses]}")
+    print(f"tf leg {name}: perm  ={['%.6f' % l for l in losses_p]}")
     return 0
 
 
@@ -237,10 +294,18 @@ def ours_leg(name: str, work: str) -> list:
     gparams, _, _ = import_h5_weights(
         os.path.join(work, "grads.h5"), params0, state0
     )
-    tf_grads = {
-        k: np.asarray(gparams[k], np.float64) - np.asarray(params[k], np.float64)
-        for k in params
-    }
+    gparams_p, _, _ = import_h5_weights(
+        os.path.join(work, "grads_perm.h5"), params0, state0
+    )
+    tf_grads, tf_noise = {}, {}
+    for k in params:
+        base = np.asarray(params[k], np.float64)
+        g1 = np.asarray(gparams[k], np.float64) - base
+        g2 = np.asarray(gparams_p[k], np.float64) - base
+        tf_grads[k] = g1
+        # TF-vs-TF spread on the permuted (mathematically identical) batch:
+        # the architecture's own amplified f32 noise at this tensor
+        tf_noise[k] = float(np.max(np.abs(g1 - g2)))
 
     xs, labs = make_batches()
     with np.load(os.path.join(work, "targets.npz")) as z:
@@ -273,27 +338,37 @@ def ours_leg(name: str, work: str) -> list:
     # -- gradient comparison, every trainable tensor ------------------------
     n_zero = 0
     worst = (0.0, None)
+    gscale = {}
     for k in sorted(params):
         g_tf = tf_grads[k]
         g_us = np.asarray(our_grads[k], np.float64)
-        scale = float(np.max(np.abs(g_tf)))
-        if scale < 1e-6:
-            # mathematically-zero gradient (bias before BN): both sides are
-            # reduction noise around 0 — assert ours is noise-small too
+        noise = tf_noise[k]
+        scale = gscale[k] = float(np.max(np.abs(g_tf)))
+        if scale < max(1e-6, 5.0 * noise):
+            # mathematically-zero gradient (bias before BN) or a tensor
+            # whose TF gradient is itself noise-dominated — assert ours is
+            # equally noise-small
             n_zero += 1
-            check(f"grad[{k}] (zero-grad)", g_us, 0.0 * g_us, 2e-6)
+            check(
+                f"grad[{k}] (noise-dominated)", g_us, 0.0 * g_us,
+                max(2e-6, 10.0 * noise),
+            )
             continue
-        # grads.h5 recovery adds ~eps*|w| absolute error from f32 rounding
+        # atol: relative bound + grads.h5 f32-recovery error + 10x the
+        # architecture's OWN measured noise at this tensor (cross-framework
+        # reduction orders differ at least as much as TF's permuted-batch
+        # self-spread; a semantic bug produces diffs ~scale, far above)
         w_mag = float(np.max(np.abs(np.asarray(params[k]))))
-        atol = 1e-4 * scale + 1e-7 * w_mag + 1e-7
+        atol = 1e-4 * scale + 1e-7 * w_mag + 2e-7 + 10.0 * noise
         diff = float(np.max(np.abs(g_us - g_tf)))
-        if diff > worst[0]:
-            worst = (diff / max(scale, 1e-12), k)
+        rel = diff / max(scale, 1e-12)
+        if rel > worst[0]:
+            worst = (rel, k)
         if diff > atol:
             check(f"grad[{k}]", g_us, g_tf, atol)
     print(
-        f"{name}: {len(params)} grad tensors ({n_zero} zero-grad); worst "
-        f"rel diff {worst[0]:.2e} at {worst[1]}"
+        f"{name}: {len(params)} grad tensors ({n_zero} noise-dominated); "
+        f"worst rel diff {worst[0]:.2e} at {worst[1]}"
     )
 
     # -- 4-step trajectory --------------------------------------------------
@@ -318,37 +393,108 @@ def ours_leg(name: str, work: str) -> list:
         return optax.apply_updates(p, updates), ns, o, l
 
     our_losses = []
+    ours_step1 = None
     for step in range(N_STEPS):
         params, state, opt_state, l = train_step(
             params, state, opt_state, jnp.asarray(xs[step]), jnp.asarray(ys[step])
         )
         our_losses.append(float(l))
+        if step == 0:
+            ours_step1 = (
+                {k: np.asarray(v, np.float64) for k, v in params.items()},
+                {k: np.asarray(v, np.float64) for k, v in state.items()},
+            )
+    # loss-trajectory tolerance: TF's own permuted-run loss spread, with
+    # margin (semantic divergence compounds per step; noise wobbles)
+    tf_loss_spread = max(
+        abs(a - b)
+        for a, b in zip(tf_res["losses"], tf_res["losses_perm"])
+    )
+    loss_tol = max(1.5e-4, 10.0 * tf_loss_spread)
     for i, (a, b) in enumerate(zip(our_losses, tf_res["losses"])):
-        # losses after step 1 sit on weights that already random-walked on
-        # the zero-grad biases; the walk is forward-invariant (BN subtracts
-        # it), so losses still agree tightly
-        check(f"loss step{i}", a, b, 2e-6 if i == 0 else 5e-5)
+        check(f"loss step{i}", a, b, 2e-6 if i == 0 else loss_tol)
+
+    # -- post-step-1 exact comparison (no chaos: identical pre-step weights)
+    # step 0 runs at the warmup lr (1e-5); even a fully noise-directed
+    # update moves a weight by <= ~lr, so 3e-5 bounds params with margin
+    # while any semantic bug (wrong lr indexing, wrong epsilon, wrong BN
+    # update) shows up at 10-100x that.  Moving stats after one step are
+    # EMA(0.01) of batch stats computed at IDENTICAL weights: float noise.
+    p1_params, p1_state, _ = import_h5_weights(
+        os.path.join(work, "post1.h5"), params0, state0
+    )
+    worst1 = (0.0, None)
+    for k in sorted(p1_params):
+        d = float(np.max(np.abs(
+            ours_step1[0][k] - np.asarray(p1_params[k], np.float64)
+        )))
+        if d > worst1[0]:
+            worst1 = (d, k)
+        if d > 3e-5:
+            check(f"step1 param [{k}]", ours_step1[0][k],
+                  np.asarray(p1_params[k], np.float64), 3e-5)
+    print(f"{name}: step-1 params worst |diff| {worst1[0]:.2e} at {worst1[1]}")
+    worst1s = (0.0, None)
+    for k in sorted(p1_state):
+        s_tf1 = np.asarray(p1_state[k], np.float64)
+        scale = float(np.max(np.abs(s_tf1)))
+        d = float(np.max(np.abs(ours_step1[1][k] - s_tf1)))
+        if d / max(scale, 1e-12) > worst1s[0]:
+            worst1s = (d / max(scale, 1e-12), k)
+        atol = 1e-4 * scale + 1e-5
+        if d > atol:
+            check(f"step1 state [{k}]", ours_step1[1][k], s_tf1, atol)
+    print(
+        f"{name}: step-1 BN stats worst rel diff {worst1s[0]:.2e} "
+        f"at {worst1s[1]}"
+    )
 
     post_params, post_state, _ = import_h5_weights(
         os.path.join(work, "post.h5"), params0, state0
     )
-    drift = N_STEPS * LR_BASE * 1.5  # zero-grad Adam random-walk bound
+    postp_params, postp_state, _ = import_h5_weights(
+        os.path.join(work, "post_perm.h5"), params0, state0
+    )
+    drift = N_STEPS * LR_BASE * 1.5  # noise-dominated Adam random-walk bound
     for k in sorted(params):
         w_tf = np.asarray(post_params[k], np.float64)
         w_us = np.asarray(params[k], np.float64)
-        scale = float(np.max(np.abs(w_tf)))
-        if float(np.max(np.abs(tf_grads[k]))) < 1e-6:
-            check(f"adam x{N_STEPS} [{k}] (zero-grad drift)", w_us, w_tf, drift)
+        wscale = float(np.max(np.abs(w_tf)))
+        # TF's own 4-step elementwise spread on the permuted (identical)
+        # batches: Adam + the deep backward amplify per-step reduction
+        # noise chaotically, and that — not a fixed constant — is the
+        # honest scale for cross-framework trajectory diffs
+        traj_noise = float(
+            np.max(np.abs(w_tf - np.asarray(postp_params[k], np.float64)))
+        )
+        if gscale[k] < max(1e-6, 5.0 * tf_noise[k]):
+            atol = max(drift, 10.0 * traj_noise)
+            check(
+                f"adam x{N_STEPS} [{k}] (noise-dominated drift)",
+                w_us, w_tf, atol,
+            )
         else:
-            check(f"adam x{N_STEPS} [{k}]", w_us, w_tf, 1e-4 * scale + 1e-5)
+            atol = 1e-4 * wscale + 5e-5 + 10.0 * traj_noise
+            check(f"adam x{N_STEPS} [{k}]", w_us, w_tf, atol)
     for k in sorted(state):
         s_tf = np.asarray(post_state[k], np.float64)
         s_us = np.asarray(state[k], np.float64)
         scale = float(np.max(np.abs(s_tf)))
-        atol = 1e-4 * scale + 1e-5
+        traj_noise = float(
+            np.max(np.abs(s_tf - np.asarray(postp_state[k], np.float64)))
+        )
+        # 4-step moving stats are a chaos-AMPLIFIED observable: they track
+        # batch statistics of activations behind noise-dominated weights
+        # (res34's SE attention: 4-sample variances of FC outputs), and the
+        # TF self-spread under the WEAK permutation perturbation
+        # underestimates the strong cross-framework perturbation by the
+        # per-step noise ratio.  The sharp assertion is the step-1 state
+        # check above (identical pre-step weights, no compounding); here a
+        # 5%-relative chaos allowance only guards gross divergence.
+        atol = 5e-2 * scale + 2e-5 + 10.0 * traj_noise
         if k.endswith("moving_mean"):
-            # tracks mean(conv_out) which includes the zero-grad bias walk:
-            # EMA-integrated drift bound (see tf_train_parity_probe)
+            # tracks mean(conv_out) which includes the noise-driven bias
+            # walk: EMA-integrated drift bound (see tf_train_parity_probe)
             atol += (1.0 - BN_MOMENTUM ** N_STEPS) * (2 * N_STEPS * LR_BASE) \
                 + (1.0 - BN_MOMENTUM) * LR_BASE * N_STEPS * (N_STEPS - 1)
         check(f"BN x{N_STEPS} [{k}]", s_us, s_tf, atol)

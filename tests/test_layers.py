@@ -162,6 +162,28 @@ class TestBatchNorm:
             rtol=1e-4,
         )
 
+    def test_train_moving_variance_2d_is_biased(self):
+        """tf_keras' NON-fused BN path (2-D inputs — the zoo's SE/BAM
+        channel gates on (B, C) Dense outputs) feeds the BIASED batch
+        variance to the moving EMA, unlike the fused 4-D path (Bessel).
+        Verified empirically against tf_keras 2.21 (round-5 finding,
+        scripts/tf_model_grad_parity.py): at n=batch=4 the distinction is a
+        33% effect that the per-model step-1 state parity exposed."""
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(4, 8).astype(np.float32) * 2 + 1)
+
+        def model(s, x):
+            return L.batch_norm(s, x)
+
+        params, state = M.init(model, jax.random.key(0), x)
+        _, new_state = M.apply(model, params, state, x, train=True)
+        biased_var = np.asarray(x).var(axis=0)  # NO Bessel
+        np.testing.assert_allclose(
+            np.asarray(new_state["batch_normalization/moving_variance"]),
+            0.99 * 1 + 0.01 * biased_var,
+            rtol=1e-4,
+        )
+
 
 class TestPooling:
     def test_max_pool_default(self):
