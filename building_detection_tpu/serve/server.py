@@ -487,8 +487,12 @@ def serve(
 
         threading.Thread(target=run, daemon=True).start()
 
-    for sig in (signal.SIGTERM, signal.SIGINT):
-        signal.signal(sig, _graceful)
+    # signal handlers are a main-thread-only API; embedded servers (serve()
+    # on a worker thread) still drain via the finally below when their
+    # httpd is shut down programmatically
+    if threading.current_thread() is threading.main_thread():
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, _graceful)
     # report the BOUND address (port=0 binds an ephemeral port)
     print(f"serving on {host}:{httpd.server_address[1]}", flush=True)
     try:
