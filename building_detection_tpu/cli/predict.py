@@ -67,8 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
         "sharing this --image-dir.  Each process takes a deterministic "
         "shard of the sorted scene list (no coordination or collectives "
         "needed; per-scene output dirs are disjoint, so the union of all "
-        "processes' outputs is bit-identical to one big run).  The "
-        "reference is single-process only (predict.py:160-178).",
+        "processes' outputs is bit-identical to one big run — except under "
+        "--int8, which calibrates on each shard's own first scenes and is "
+        "not mask-parity to begin with).  The reference is single-process "
+        "only (predict.py:160-178).",
     )
     p.add_argument(
         "--process-id",
