@@ -16,6 +16,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-tiles", type=int, default=8)
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     p.add_argument(
+        "--drain-timeout",
+        type=float,
+        default=None,
+        help="seconds to wait for in-flight requests on SIGTERM before "
+        "closing anyway (default: ServeConfig.drain_timeout_s = 300)",
+    )
+    p.add_argument(
         "--no-bucket",
         action="store_true",
         help="disable bucketed program shapes (bucketing lets mixed upload "
@@ -58,9 +65,18 @@ def main(argv=None) -> int:
         from building_detection_tpu.infer.pipeline import discover_weights
 
         weights = discover_weights(args.weights_dir)
-    from building_detection_tpu.core.config import TilerConfig
+    from building_detection_tpu.core.config import ServeConfig, TilerConfig
 
-    cfg = Config(tiler=TilerConfig(bucket_sizes=not args.no_bucket))
+    serve_cfg = ServeConfig()
+    if args.drain_timeout is not None:
+        import dataclasses
+
+        serve_cfg = dataclasses.replace(
+            serve_cfg, drain_timeout_s=args.drain_timeout
+        )
+    cfg = Config(
+        tiler=TilerConfig(bucket_sizes=not args.no_bucket), serve=serve_cfg
+    )
     int8_scales = None
     int8_calibration = None
     if args.int8 and args.int8_scales:

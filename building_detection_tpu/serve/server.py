@@ -235,10 +235,13 @@ class DetectionService:
         503 while draining so a load balancer stops routing new work here
         before the listener closes."""
         draining = self.draining
+        with self._batcher._cv:
+            queued = len(self._batcher._queue)
         return (
             {
                 "status": "draining" if draining else "ok",
                 "inflight": self._inflight,
+                "queued": queued,  # device-worker backlog (micro-batcher)
                 "model": type(self.pipeline).__name__,
             },
             503 if draining else 200,

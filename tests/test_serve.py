@@ -313,6 +313,7 @@ class TestHealthAndDrain:
         assert resp.status == 200
         assert data["status"] == "ok"
         assert data["inflight"] == 0
+        assert data["queued"] == 0  # micro-batcher backlog exposed
 
     def test_get_unknown_path_404(self, server):
         import urllib.error
